@@ -1,0 +1,88 @@
+"""Macenko normalizer API class (counterpart of
+``src/stainx/normalizers/macenko.py:11-73``).
+
+Fitted state: ``_stain_matrix`` (3, 2) H/E columns + ``_target_max_conc``
+(2,). ``normalize_to_0_1`` defaults to **False** here (output ~[0, 255]);
+``StainNormalizerTransform(method="macenko")`` defaults it to True
+(``transforms.py:99-102`` in the reference).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+
+from stainx_tpu.normalizers._template import NormalizerTemplate
+from stainx_tpu.ops import macenko as macenko_ops
+
+_VALID_PRECISION = ("stable", "fast")
+
+
+class Macenko(NormalizerTemplate):
+    """Macenko stain normalization (OD eigen-plane + percentile stain vectors).
+
+    Parameters
+    ----------
+    device, backend : see :class:`NormalizerTemplate`.
+    normalize_to_0_1 : bool
+        Divide output by 255 so results land in [0, 1]. Default False
+        (reference contract, ``macenko.py:35-39``).
+    precision : {"stable", "fast"}
+        Dtype policy, validated eagerly at construction (``macenko.py:36-44``).
+        ``stable`` — f32 everywhere, two-pass centered covariance.
+        ``fast`` — bf16 pixel matmuls (projection / reconstruction on the
+        MXU), f32 statistics and solves. Unlike the reference (whose "fast"
+        needed the CUDA extension), both precisions work on every backend
+        because bf16 is native to TPU and supported by XLA on CPU.
+    """
+
+    def __init__(
+        self,
+        device: Any | None = None,
+        backend: str | None = None,
+        normalize_to_0_1: bool = False,
+        precision: str = "stable",
+    ):
+        if precision not in _VALID_PRECISION:
+            raise ValueError(f"precision must be 'stable' or 'fast', got {precision!r}")
+        self._precision = precision
+        self.normalize_to_0_1 = normalize_to_0_1
+        super().__init__(device=device, backend=backend)
+
+    @property
+    def precision(self) -> str:
+        return self._precision
+
+    def _init_algorithm_attributes(self):
+        self._stain_matrix = None
+        self._target_max_conc = None
+        self._concentration_matrix = None  # reference API parity (macenko.py:48)
+
+    def _state_attrs(self):
+        return ("_stain_matrix", "_target_max_conc")
+
+    def _compute_reference_params(self, images: jnp.ndarray) -> None:
+        self._validate_layout(images, "fit")
+        self._stain_matrix, self._target_max_conc = macenko_ops.macenko_fit(images)
+        self._concentration_matrix = None
+
+    def _transform_impl(self, images: jnp.ndarray) -> jnp.ndarray:
+        self._validate_layout(images, "transform")
+        if tuple(self._stain_matrix.shape) != (3, 2):
+            raise ValueError(
+                f"stain_matrix must have shape (3, 2), got {tuple(self._stain_matrix.shape)}"
+            )
+        return macenko_ops.macenko_transform(
+            images, self._stain_matrix, self._target_max_conc, precision=self._precision
+        )
+
+    @staticmethod
+    def _validate_layout(images: jnp.ndarray, stage: str) -> None:
+        if images.ndim != 4:
+            raise ValueError(f"Macenko {stage} expects NCHW images, got shape {tuple(images.shape)}")
+        if images.shape[1] != 3:
+            raise ValueError(
+                f"Macenko {stage} expects 3 channels in dim 1 (NCHW), got C={images.shape[1]} "
+                f"with shape {tuple(images.shape)}"
+            )

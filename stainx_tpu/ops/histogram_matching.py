@@ -1,0 +1,135 @@
+"""Histogram matching — per-channel 256-bin CDF matching, pure jittable.
+
+Semantics follow the reference's ``HistogramMatchingTorch``
+(``src/stainx/backends/torch_backend.py:134-301``): uint8 quantization,
+per-channel 256-bin histograms, vectorized ``searchsorted`` into the
+reference CDF with linear interpolation, edge pinning to bins 0/255, and a
+256-entry LUT gather. Histogram counts are additive, so the distributed
+batch-mode fit is an exact cross-chip ``psum`` (SURVEY §2.3).
+
+The histogram itself is computed with a chunked compare-and-reduce (fused by
+XLA; no scatter atomics — TPUs have none), with a Pallas tiled accumulator
+kernel as the compiled fast path (``stainx_tpu.kernels.histogram``)
+replacing the reference's shared-memory-atomic CUDA kernel
+(``csrc/histogram_matching.cu:49-95``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from stainx_tpu.ops import color
+
+_HIST_CHUNK = 1 << 16  # pixels per scan step; keeps the fused eq+reduce in VMEM
+
+
+def _to_channels_first(images: jnp.ndarray, channel_axis: int) -> tuple[jnp.ndarray, bool]:
+    """NHWC → NCHW when channel_axis says channels-last (``torch_backend.py:181-186``)."""
+    if channel_axis == -1 or (channel_axis == 3 and images.ndim == 4):
+        return jnp.transpose(images, (0, 3, 1, 2)), True
+    return images, False
+
+
+def histogram_256(values_u8: jnp.ndarray) -> jnp.ndarray:
+    """Per-channel 256-bin counts. ``values_u8``: (C, P) uint8 → (C, 256) f32.
+
+    Chunked one-hot reduction: each scan step fuses an equality compare with
+    the pixel-axis reduction, so no (C, P, 256) intermediate materializes.
+    """
+    c, p = values_u8.shape
+    bins = jnp.arange(256, dtype=jnp.int32)
+
+    pad = (-p) % _HIST_CHUNK
+    padded = jnp.pad(values_u8.astype(jnp.int32), ((0, 0), (0, pad)), constant_values=-1)
+    chunks = padded.reshape(c, -1, _HIST_CHUNK)  # (C, S, B)
+
+    def step(acc, chunk):  # chunk: (C, B)
+        eq = chunk[:, :, None] == bins[None, None, :]  # (C, B, 256) — fused
+        return acc + jnp.sum(eq, axis=1, dtype=jnp.float32), None
+
+    init = jnp.zeros((c, 256), jnp.float32)
+    counts, _ = jax.lax.scan(step, init, jnp.moveaxis(chunks, 1, 0))
+    return counts
+
+
+@partial(jax.jit, static_argnames=("channel_axis",))
+def hm_fit(images: jnp.ndarray, channel_axis: int = 1) -> jnp.ndarray:
+    """Reference histograms, (C, 256) float32, rows normalized to sum 1.
+
+    Matches ``compute_reference_histograms_torch`` (``torch_backend.py:143-179``):
+    uint8 quantization then per-channel normalized 256-bin histogram
+    (``counts / (counts.sum() + 1e-8)``, ``torch_backend.py:139-141``).
+    """
+    images_cf, _ = _to_channels_first(images, channel_axis)
+    images_u8, _ = color.images_to_uint8(images_cf)
+    n, c, h, w = images_u8.shape
+    flat = jnp.transpose(images_u8, (1, 0, 2, 3)).reshape(c, n * h * w)
+    counts = histogram_256(flat)
+    return counts / (jnp.sum(counts, axis=1, keepdims=True) + 1e-8)
+
+
+def hm_build_lut(source_counts: jnp.ndarray, ref_hist: jnp.ndarray, num_pixels: float) -> jnp.ndarray:
+    """Build the per-channel 256-entry lookup table.
+
+    ``source_counts``: (C, 256) raw counts; ``ref_hist``: (C, 256) reference
+    histogram (any normalization). Mirrors the vectorized searchsorted +
+    interpolation + edge pinning of ``torch_backend.py:254-281``.
+    """
+    source_cdf = jnp.cumsum(source_counts / (num_pixels + 1e-8), axis=1)  # (C, 256)
+    ref_norm = ref_hist / (jnp.sum(ref_hist, axis=1, keepdims=True) + 1e-8)
+    ref_quantiles = jnp.cumsum(ref_norm, axis=1)  # (C, 256)
+
+    indices = jax.vmap(lambda rq, sc: jnp.searchsorted(rq, sc, side="left"))(
+        ref_quantiles, source_cdf
+    )
+    indices = jnp.clip(indices, 1, 255)
+
+    q_left = jnp.take_along_axis(ref_quantiles, indices - 1, axis=1)
+    q_right = jnp.take_along_axis(ref_quantiles, indices, axis=1)
+    q_diff = q_right - q_left
+    alpha = jnp.where(q_diff > 1e-10, (source_cdf - q_left) / q_diff, 0.0)
+
+    # ref_values = arange(256), so interp = (idx-1) + alpha·((idx) - (idx-1)).
+    lut = (indices - 1).astype(jnp.float32) + alpha
+
+    below_min = source_cdf <= ref_quantiles[:, 0:1]
+    above_max = source_cdf >= ref_quantiles[:, 255:256]
+    lut = jnp.where(below_min, 0.0, lut)
+    lut = jnp.where(above_max, 255.0, lut)
+    return jnp.clip(lut, 0.0, 255.0)
+
+
+@partial(jax.jit, static_argnames=("channel_axis",))
+def hm_transform(images: jnp.ndarray, ref_histograms: jnp.ndarray, channel_axis: int = 1) -> jnp.ndarray:
+    """Match each channel's histogram to the fitted reference histograms.
+
+    Mirrors ``HistogramMatchingTorch.transform`` (``torch_backend.py:194-301``);
+    output layout and dtype match the input.
+    """
+    original_dtype = images.dtype
+    images_cf, needs_permute = _to_channels_first(images, channel_axis)
+    was_uint8 = images_cf.dtype == jnp.uint8
+
+    images_u8, needs_scale_back = color.images_to_uint8(images_cf)
+    n, c, h, w = images_u8.shape
+
+    flat = jnp.transpose(images_u8, (1, 0, 2, 3)).reshape(c, n * h * w)
+    source_counts = histogram_256(flat)
+    lut = hm_build_lut(source_counts, ref_histograms.astype(jnp.float32), float(n * h * w))
+
+    matched = lut[jnp.arange(c)[None, :, None, None], images_u8.astype(jnp.int32)]
+
+    if needs_scale_back:
+        matched = jnp.clip(matched / 255.0, 0.0, 1.0)
+    else:
+        matched = jnp.clip(matched, 0.0, 255.0)
+
+    result = color.preserve_dtype(
+        matched, original_dtype, was_uint8, result_in_0_255_range=not needs_scale_back
+    )
+    if needs_permute:
+        result = jnp.transpose(result, (0, 2, 3, 1))
+    return result

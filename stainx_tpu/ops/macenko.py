@@ -1,0 +1,259 @@
+"""Macenko stain normalization — batched, fixed-shape, fully on-device.
+
+Semantics follow the reference's Macenko math (constants Io=240, β=0.15,
+α=1; ``src/stainx/backends/torch_backend.py:358-560``) in the **fixed-shape
+masked formulation** of its CUDA wrapper
+(``src/stainx_cuda_torch/csrc/macenko.cu:67-266``): β-mask with an
+all-pixels fallback when fewer than 3 pixels survive, ±inf sentinels for
+masked percentiles, 2×2 normal-equation concentration solve, nearest-rank
+percentiles with the torchstain index formula. The reference's torch
+backend loops over images in Python (``torch_backend.py:556-558``) with
+per-image CPU eigh/lstsq round-trips; here the whole batch is one traced
+XLA program — no host syncs, no per-image loop.
+
+TPU-first design choices (vs the CUDA structure):
+
+- All K∈{2,3} contractions (covariance, stain-plane projection,
+  normal-equation RHS, reconstruction) are written as **channel-plane
+  FMAs**, not matmuls: they are bandwidth-bound, the MXU's default
+  bf16-input passes would cost exact f32 parity, and elementwise form lets
+  XLA fuse each stage with its neighbours into single HBM passes.
+- Covariance is a **two-pass centered** f32 reduction (XLA tree-reduces),
+  not the one-pass E[xxᵀ]−μμᵀ formula the reference needs fp64 for
+  (``macenko.cu:9-31``) — centering removes the catastrophic cancellation,
+  so f32 suffices on TPU where fp64 is emulated/absent.
+- Percentiles use ``lax.top_k`` with a small static k instead of full
+  O(P log P) sorts (see :mod:`stainx_tpu.ops.percentile`).
+- ``precision="fast"`` evaluates the projection and reconstruction in
+  bf16 (the CUDA fast path's fp16 role, ``macenko.cu:116-191``);
+  statistics, percentile ranks and the 2×2 solve stay f32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from stainx_tpu.ops import color
+from stainx_tpu.ops.eigh3 import eigh3_top2
+from stainx_tpu.ops.percentile import (
+    masked_nearest_rank_percentile,
+    percentile_all,
+    static_bound_for_alpha,
+)
+
+IO = 240.0
+BETA = 0.15
+ALPHA = 1  # integer percent — percentile ranks are computed exactly
+
+
+def optical_density(images_float: jnp.ndarray) -> jnp.ndarray:
+    """OD = −log((I·255 + 1) / Io) for float [0,1] images (``torch_backend.py:475``)."""
+    return -jnp.log((images_float * 255.0 + 1.0) / IO)
+
+
+def masked_od_moments(
+    od_c: tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray], weights: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Additive masked OD moments per batch entry from channel planes
+    ``od_c`` (each (N, P)) and 0/1 ``weights`` (N, P): ``(count, sum(3,),
+    outer-product sum (3,3))``. These are the 10 additive scalars of the
+    reference's CUDA accumulator layout (``csrc/macenko.cu:156-190``) and
+    distribute losslessly under cross-chip ``psum`` (SURVEY §5)."""
+    cnt = jnp.sum(weights, axis=-1)
+    s1 = jnp.stack([jnp.sum(weights * od_c[i], axis=-1) for i in range(3)], axis=-1)
+    s2 = jnp.stack(
+        [
+            jnp.stack(
+                [jnp.sum(weights * od_c[i] * od_c[j], axis=-1) for j in range(3)], axis=-1
+            )
+            for i in range(3)
+        ],
+        axis=-2,
+    )
+    return cnt, s1, s2
+
+
+def cov_from_moments(cnt: jnp.ndarray, s1: jnp.ndarray, s2: jnp.ndarray) -> jnp.ndarray:
+    """Covariance (N, 3, 3) from additive moments — used by the distributed
+    (psum-reduced) fit path where a two-pass scheme would need a second
+    cross-chip round trip. Accumulation is f32 tree-reduced, adequate for
+    the post-``psum`` combine."""
+    mu = s1 / jnp.maximum(cnt, 1.0)[:, None]
+    cov = (s2 - cnt[:, None, None] * mu[:, :, None] * mu[:, None, :]) / jnp.maximum(
+        cnt - 1.0, 1.0
+    )[:, None, None]
+    return jnp.where((cnt > 1.0)[:, None, None], cov, 0.0)
+
+
+def _masked_cov_two_pass(od_c, weights: jnp.ndarray, cnt: jnp.ndarray) -> jnp.ndarray:
+    """Σ w·(x−μ)(x−μ)ᵀ / (cnt−1); zeros when cnt ≤ 1 (``torch_backend.py:384-397``).
+
+    ``od_c``: three (N, P) channel planes; ``weights``: 0/1 (N, P).
+    """
+    safe_cnt = jnp.maximum(cnt, 1.0)
+    mu = [jnp.sum(weights * od_c[i], axis=-1) / safe_cnt for i in range(3)]
+    centered = [od_c[i] - mu[i][:, None] for i in range(3)]
+    denom = jnp.maximum(cnt - 1.0, 1.0)
+    rows = []
+    for i in range(3):
+        wc_i = weights * centered[i]
+        rows.append(
+            jnp.stack(
+                [jnp.sum(wc_i * centered[j], axis=-1) / denom for j in range(3)], axis=-1
+            )
+        )
+    cov = jnp.stack(rows, axis=-2)  # (N, 3, 3)
+    return jnp.where((cnt > 1.0)[:, None, None], cov, 0.0)
+
+
+def _project_plane(od_c, evecs: jnp.ndarray, dtype) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Project OD channel planes onto the stain plane: That_k = Σ_c od_c·v_ck.
+
+    Returns the two projection planes (N, P) as f32 (inputs evaluated in
+    ``dtype`` — bf16 in fast mode, mirroring the CUDA fp16 bmm)."""
+    out = []
+    for k in range(2):
+        acc = sum(
+            od_c[i].astype(dtype) * evecs[:, i, k].astype(dtype)[:, None] for i in range(3)
+        )
+        out.append(acc.astype(jnp.float32))
+    return out[0], out[1]
+
+
+def _he_from_phi_extremes(
+    evecs: jnp.ndarray, min_phi: jnp.ndarray, max_phi: jnp.ndarray
+) -> jnp.ndarray:
+    """Extreme stain vectors + H/E ordering (``torch_backend.py:502-510``)."""
+    v_min = evecs[:, :, 0] * jnp.cos(min_phi)[:, None] + evecs[:, :, 1] * jnp.sin(min_phi)[:, None]
+    v_max = evecs[:, :, 0] * jnp.cos(max_phi)[:, None] + evecs[:, :, 1] * jnp.sin(max_phi)[:, None]
+    swap = (v_min[:, 0] > v_max[:, 0])[:, None, None]
+    he_min_first = jnp.stack([v_min, v_max], axis=-1)  # (N, 3, 2)
+    he_max_first = jnp.stack([v_max, v_min], axis=-1)
+    return jnp.where(swap, he_min_first, he_max_first)
+
+
+def _concentrations_2x2(he: jnp.ndarray, od_c) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Least-squares concentrations via explicit 2×2 normal equations
+    (the CUDA wrapper's closed-form inverse, ``macenko.cu:156-171``).
+
+    he: (N, 3, 2); od_c: three (N, P) channel planes → (C0, C1) f32.
+    """
+    h0, h1 = he[:, :, 0], he[:, :, 1]  # (N, 3)
+    a = jnp.sum(h0 * h0, axis=-1)  # (N,)
+    b = jnp.sum(h0 * h1, axis=-1)
+    c = jnp.sum(h1 * h1, axis=-1)
+    inv_det = 1.0 / (a * c - b * b)
+
+    rhs0 = sum(h0[:, i, None] * od_c[i] for i in range(3))  # (N, P)
+    rhs1 = sum(h1[:, i, None] * od_c[i] for i in range(3))
+    c0 = ((c * inv_det)[:, None] * rhs0) - ((b * inv_det)[:, None] * rhs1)
+    c1 = ((a * inv_det)[:, None] * rhs1) - ((b * inv_det)[:, None] * rhs0)
+    return c0, c1
+
+
+def _stain_separate(od_c, mask: jnp.ndarray, cnt: jnp.ndarray, proj_dtype):
+    """Shared fit/transform core: masked covariance → stain plane → φ
+    percentile extremes → ordered H/E matrix. Returns (HE, evecs)."""
+    weights = mask.astype(jnp.float32)
+    cov = _masked_cov_two_pass(od_c, weights, cnt.astype(jnp.float32))
+    evecs = eigh3_top2(cov)  # (N, 3, 2)
+
+    t0, t1 = _project_plane(od_c, evecs, proj_dtype)
+    phi = jnp.arctan2(t1, t0)  # (N, P) f32
+
+    p = phi.shape[-1]
+    k_alpha = static_bound_for_alpha(ALPHA, p)
+    min_phi = masked_nearest_rank_percentile(phi, mask, cnt, ALPHA, k_alpha)
+    max_phi = masked_nearest_rank_percentile(phi, mask, cnt, 100 - ALPHA, k_alpha)
+
+    return _he_from_phi_extremes(evecs, min_phi, max_phi), evecs
+
+
+@partial(jax.jit, static_argnames=("precision",))
+def macenko_transform(
+    images: jnp.ndarray,
+    stain_matrix: jnp.ndarray,
+    target_max_conc: jnp.ndarray,
+    precision: str = "stable",
+) -> jnp.ndarray:
+    """Normalize a batch to the fitted stain matrix / max concentrations.
+
+    Matches ``MacenkoTorch.transform`` + ``_process_single_image_torch``
+    (``torch_backend.py:399-461,521-560``) with the CUDA wrapper's batched
+    masked scheme. Output range [0, 255] in the input dtype (no Io cap —
+    torchstain parity, ``docs/changelog.md:61``).
+    """
+    original_dtype = images.dtype
+    was_uint8 = original_dtype == jnp.uint8
+
+    images_float = color.normalize_to_float(images)
+    n, c, h, w = images_float.shape
+    p = h * w
+
+    od = optical_density(images_float).reshape(n, 3, p)
+    od_c = (od[:, 0], od[:, 1], od[:, 2])  # channel planes (N, P)
+
+    # β-mask + all-pixels fallback when < 3 pixels survive (macenko.cu:105-110).
+    od_min = jnp.minimum(jnp.minimum(od_c[0], od_c[1]), od_c[2])
+    mask = od_min >= BETA
+    cnt = jnp.sum(mask, axis=-1)  # (N,) int
+    use_all = cnt < 3
+    eff_mask = mask | use_all[:, None]
+    cnt_eff = jnp.where(use_all, p, cnt)
+
+    proj_dtype = jnp.bfloat16 if precision == "fast" else jnp.float32
+    he, _ = _stain_separate(od_c, eff_mask, cnt_eff, proj_dtype)
+    c0, c1 = _concentrations_2x2(he, od_c)  # (N, P) each
+
+    # 99th percentile of each concentration over ALL pixels (static rank;
+    # macenko.cu:247-251 uses cnt_all = P).
+    max_c0 = percentile_all(c0, 99)  # (N,)
+    max_c1 = percentile_all(c1, 99)
+
+    tmc = target_max_conc.reshape(-1).astype(jnp.float32)
+    cn0 = (c0 * (tmc[0] / max_c0)[:, None]).astype(proj_dtype)
+    cn1 = (c1 * (tmc[1] / max_c1)[:, None]).astype(proj_dtype)
+
+    stain = stain_matrix.astype(jnp.float32)
+    recon = [
+        (
+            cn0 * stain[i, 0].astype(proj_dtype) + cn1 * stain[i, 1].astype(proj_dtype)
+        ).astype(jnp.float32)
+        for i in range(3)
+    ]
+    od_recon = jnp.stack(recon, axis=1)  # (N, 3, P)
+
+    rgb = jnp.clip(IO * jnp.exp(-od_recon), 0.0, 255.0).reshape(n, c, h, w)
+    return color.preserve_dtype(rgb, original_dtype, was_uint8, result_in_0_255_range=True)
+
+
+@jax.jit
+def macenko_fit(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fit the reference stain matrix (3, 2) and max concentrations (2,).
+
+    Matches ``compute_reference_stain_matrix_torch``
+    (``torch_backend.py:463-519``): pixels of all N images pooled, β-filter
+    **without** the <3 fallback, covariance over filtered pixels only,
+    percentiles of φ over filtered pixels, concentrations and their 99th
+    percentile over ALL pooled pixels. Fully jittable so batch mode
+    (fit-per-forward) stays on-device.
+    """
+    images_float = color.normalize_to_float(images)
+    n, _, h, w = images_float.shape
+    ptot = n * h * w
+
+    od = optical_density(images_float)
+    od_c = tuple(od[:, i].reshape(1, ptot) for i in range(3))  # pooled planes
+
+    od_min = jnp.minimum(jnp.minimum(od_c[0], od_c[1]), od_c[2])
+    mask = od_min >= BETA  # no fallback at fit (torch_backend.py:483-485)
+    cnt = jnp.sum(mask, axis=-1)
+
+    he, _ = _stain_separate(od_c, mask, cnt, jnp.float32)
+    c0, c1 = _concentrations_2x2(he, od_c)
+
+    max_conc = jnp.stack([percentile_all(c0, 99)[0], percentile_all(c1, 99)[0]])
+    return he[0], max_conc

@@ -1,0 +1,98 @@
+"""Reinhard stain normalization — pure jittable pipeline.
+
+Semantics match the reference's ``ReinhardTorch``
+(``src/stainx/backends/torch_backend.py:304-355``): batch-global LAB
+mean/std (Bessel-corrected), z-score vs source stats with ``+1e-8`` eps,
+rescale to reference stats, LAB→RGB, clamp, dtype restore. The reference's
+CUDA path (``csrc/reinhard.cu``) exists only because ATen could not fuse
+this chain; here XLA fuses the RGB→LAB→affine→RGB chain into one pass (a
+Pallas kernel backs it on TPU via :mod:`stainx_tpu.kernels`).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from stainx_tpu.ops import color
+
+
+def lab_moments(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-channel LAB pixel count / sum / sum-of-squares — the additive
+    statistics that cross-chip ``psum`` reduces losslessly for distributed
+    batch-mode fitting (SURVEY §2.3).
+
+    Returns ``(count, sum, sumsq)`` with shapes ``(), (3,), (3,)``.
+    """
+    lab = color.rgb_to_lab(color.normalize_to_float(images), channel_axis=1)
+    n = jnp.asarray(lab.shape[0] * lab.shape[2] * lab.shape[3], jnp.float32)
+    s = jnp.sum(lab, axis=(0, 2, 3))
+    sq = jnp.sum(lab * lab, axis=(0, 2, 3))
+    return n, s, sq
+
+
+def moments_to_mean_std(n, s, sq) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Bessel-corrected mean/std from additive moments (matches ``torch.std``
+    which defaults to unbiased, ``torch_backend.py:321``)."""
+    mean = s / n
+    var = jnp.maximum(sq - n * mean * mean, 0.0) / jnp.maximum(n - 1.0, 1.0)
+    return mean, jnp.sqrt(var)
+
+
+@jax.jit
+def reinhard_fit(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference LAB mean/std over the whole batch, shapes ``(3,), (3,)``.
+
+    Mirrors ``compute_reference_mean_std_torch`` (``torch_backend.py:308-323``).
+    """
+    images_float = color.normalize_to_float(images)
+    lab = color.rgb_to_lab(images_float, channel_axis=1)
+    mean = jnp.mean(lab, axis=(0, 2, 3))
+    std = jnp.std(lab, axis=(0, 2, 3), ddof=1)
+    return mean, std
+
+
+def _reinhard_apply(lab, lab_mean, lab_std, reference_mean, reference_std):
+    lab_norm = ((lab - lab_mean) / (lab_std + 1e-8)) * reference_std + reference_mean
+    return jnp.clip(color.lab_to_rgb(lab_norm, channel_axis=1), 0.0, 1.0)
+
+
+@jax.jit
+def reinhard_transform(
+    images: jnp.ndarray,
+    reference_mean: jnp.ndarray,
+    reference_std: jnp.ndarray,
+) -> jnp.ndarray:
+    """Transform a batch to the fitted reference statistics.
+
+    Source statistics are **batch-global** (mean/std over N, H, W at once),
+    exactly like the reference (``torch_backend.py:344-349``). Output dtype
+    matches input (uint8 → [0,255] uint8; float → [0,1] float).
+    """
+    original_dtype = images.dtype
+    was_uint8 = original_dtype == jnp.uint8
+
+    images_float = color.normalize_to_float(images)
+    lab = color.rgb_to_lab(images_float, channel_axis=1)
+    lab_mean = jnp.mean(lab, axis=(0, 2, 3), keepdims=True)
+    lab_std = jnp.std(lab, axis=(0, 2, 3), ddof=1, keepdims=True)
+
+    rgb = _reinhard_apply(
+        lab,
+        lab_mean,
+        lab_std,
+        reference_mean.reshape(1, 3, 1, 1),
+        reference_std.reshape(1, 3, 1, 1),
+    )
+    return color.preserve_dtype(rgb, original_dtype, was_uint8, result_in_0_255_range=False)
+
+
+def reinhard_fit_sharded(images: jnp.ndarray, *, axis_name: str) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Distributed fit: additive LAB moments reduced with ``psum`` across
+    ``axis_name``. Call inside ``shard_map`` — exact (not approximate) because
+    mean/std are additive in (n, Σx, Σx²). See SURVEY §2.3 / §5."""
+    n, s, sq = lab_moments(images)
+    n = jax.lax.psum(n, axis_name)
+    s = jax.lax.psum(s, axis_name)
+    sq = jax.lax.psum(sq, axis_name)
+    return moments_to_mean_std(n, s, sq)

@@ -1,0 +1,206 @@
+"""Training-pipeline transform (counterpart of ``src/stainx/transforms.py:26-230``).
+
+:class:`StainNormalizerTransform` is a plain callable (framework-agnostic —
+drop it into grain / tf.data host pipelines or call it on-device inside a
+jitted step via the underlying ops). It preserves the reference's contracts:
+
+- Modes: ``reference`` (fit once) and ``batch`` (re-fit on
+  ``batch[batch_ref_index]`` every call — intentionally mutable,
+  ``transforms.py:222-227``).
+- Layout: Macenko/Reinhard require NCHW with C=3; ``channel_axis`` only
+  applies to histogram matching; NHWC into Macenko/Reinhard raises
+  (``transforms.py:118-126,206-212``).
+- Value range: uint8 → [0, 255]; float → [0, 1] always (no ``max()>1``).
+  ``normalize_to_0_1`` defaults to True for ``method="macenko"``
+  (``transforms.py:99-102``).
+- Device: ``device=None`` follows the input array's device and re-syncs the
+  inner normalizer (including fitted state) on change
+  (``transforms.py:173-198``). Pass ``device="tpu"`` to pin.
+- Serialization: fitted parameters are NOT part of any checkpointable
+  attribute set by default (reference contract, ``transforms.py:63-68``) —
+  use ``.normalizer.state`` explicitly if you want to persist them.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Literal
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stainx_tpu.normalizers import HistogramMatching, Macenko, Reinhard
+
+MethodName = Literal["macenko", "reinhard", "histogram_matching"]
+ModeName = Literal["reference", "batch"]
+
+_METHOD_MAP = {"macenko": Macenko, "reinhard": Reinhard, "histogram_matching": HistogramMatching}
+_CHANNELS_FIRST = frozenset({1, -3})
+_CHANNELS_LAST = frozenset({-1, 3})
+
+
+class StainNormalizerTransform:
+    """Apply stain normalization inside a training input pipeline."""
+
+    def __init__(
+        self,
+        method: MethodName = "macenko",
+        *,
+        mode: ModeName = "reference",
+        reference: Any | None = None,
+        device: str | jax.Device | None = None,
+        backend: str | None = None,
+        channel_axis: int = 1,
+        batch_ref_index: int = 0,
+        normalize_to_0_1: bool | None = None,
+        normalizer: Any | None = None,
+    ):
+        from stainx_tpu.utils import get_device
+
+        self.mode = mode
+        self.channel_axis = channel_axis
+        self.batch_ref_index = batch_ref_index
+        # None = follow input device each call (transforms.py:89-90).
+        self.device = None if device is None else get_device(device)
+        self._requested_backend = backend
+
+        if mode not in ("reference", "batch"):
+            raise ValueError(f"Unsupported mode '{mode}'. Use 'reference' or 'batch'.")
+
+        # Training-safe default for method="macenko" (transforms.py:99-102).
+        explicit_n01 = normalize_to_0_1
+        if normalize_to_0_1 is None:
+            normalize_to_0_1 = method == "macenko" and normalizer is None
+
+        if normalizer is not None:
+            self.normalizer = normalizer
+            if isinstance(self.normalizer, Macenko):
+                if explicit_n01 is not None:
+                    self.normalizer.normalize_to_0_1 = bool(explicit_n01)
+            elif explicit_n01:
+                raise ValueError("normalize_to_0_1 only applies to Macenko normalizers.")
+            if isinstance(self.normalizer, HistogramMatching):
+                # Layout follows the prebuilt normalizer (transforms.py:111-117).
+                norm_axis = int(self.normalizer.channel_axis)
+                if channel_axis != 1 and not self._same_channel_layout(channel_axis, norm_axis):
+                    raise ValueError(
+                        f"channel_axis={channel_axis} conflicts with prebuilt "
+                        f"HistogramMatching(channel_axis={norm_axis})."
+                    )
+                self.channel_axis = norm_axis
+            elif channel_axis not in _CHANNELS_FIRST:
+                raise ValueError(
+                    f"channel_axis={channel_axis} is only supported for histogram_matching; "
+                    f"Macenko/Reinhard require NCHW (channel_axis=1)."
+                )
+        else:
+            if method not in _METHOD_MAP:
+                raise ValueError(f"Unknown method '{method}'. Choose from {sorted(_METHOD_MAP)}")
+            if method != "histogram_matching" and channel_axis not in _CHANNELS_FIRST:
+                raise ValueError(
+                    f"channel_axis={channel_axis} is only supported for histogram_matching; "
+                    f"{method} requires NCHW (channel_axis=1)."
+                )
+            if explicit_n01 and method != "macenko":
+                raise ValueError("normalize_to_0_1 only applies to Macenko (method='macenko').")
+            cls = _METHOD_MAP[method]
+            norm_device = self.device  # None → normalizer default device
+            if method == "histogram_matching":
+                self.normalizer = cls(device=norm_device, backend=backend, channel_axis=channel_axis)
+            elif method == "macenko":
+                self.normalizer = cls(
+                    device=norm_device, backend=backend, normalize_to_0_1=bool(normalize_to_0_1)
+                )
+            else:
+                self.normalizer = cls(device=norm_device, backend=backend)
+
+        if mode == "reference":
+            if reference is None and not getattr(self.normalizer, "_is_fitted", False):
+                raise ValueError(
+                    "mode='reference' requires a reference tensor (or a pre-fitted normalizer)."
+                )
+            if reference is not None:
+                self.fit_reference(reference)
+
+    # ------------------------------------------------------------ layout
+    @staticmethod
+    def _same_channel_layout(a: int, b: int) -> bool:
+        a_first, b_first = a in _CHANNELS_FIRST, b in _CHANNELS_FIRST
+        a_last, b_last = a in _CHANNELS_LAST, b in _CHANNELS_LAST
+        return (a_first and b_first) or (a_last and b_last)
+
+    def _layout_channel_axis(self) -> int:
+        if isinstance(self.normalizer, HistogramMatching):
+            return int(self.normalizer.channel_axis)
+        return self.channel_axis
+
+    # ------------------------------------------------------------ devices
+    def _target_device(self, images: jnp.ndarray) -> jax.Device:
+        if self.device is not None:
+            return self.device
+        devices = getattr(images, "devices", None)
+        if callable(devices):
+            device_set = images.devices()
+            if len(device_set) == 1:
+                return next(iter(device_set))
+        return self.normalizer.device
+
+    def _sync_normalizer_device(self, device: jax.Device) -> None:
+        """Keep the inner normalizer + fitted state on the batch device
+        (reference ``_sync_normalizer_device``, ``transforms.py:173-198``)."""
+        if self.normalizer.device != device:
+            self.normalizer.to_device(device)
+
+    # ------------------------------------------------------------ forward
+    def _prepare(self, images: Any) -> jnp.ndarray:
+        if not isinstance(images, jnp.ndarray):
+            images = jnp.asarray(np.asarray(images))
+        if images.ndim == 3:
+            images = images[None]
+        if images.ndim != 4:
+            raise ValueError(
+                f"Expected CHW/NCHW or HWC/NHWC image tensor, got shape {tuple(images.shape)}"
+            )
+
+        if isinstance(self.normalizer, HistogramMatching) and self._layout_channel_axis() in _CHANNELS_LAST:
+            if images.shape[-1] != 3:
+                raise ValueError(
+                    f"channels-last histogram matching expects shape (N, H, W, 3), "
+                    f"got {tuple(images.shape)}"
+                )
+        else:
+            if images.shape[1] != 3:
+                raise ValueError(
+                    f"Expected NCHW with C=3 (got shape {tuple(images.shape)}). Macenko/Reinhard "
+                    f"do not accept NHWC; use channel_axis=-1 only with histogram_matching, or "
+                    f"permute to NCHW first."
+                )
+
+        target = self._target_device(images)
+        self._sync_normalizer_device(target)
+        return jax.device_put(images, target)
+
+    def fit_reference(self, reference: Any) -> "StainNormalizerTransform":
+        """Fit the underlying normalizer on a reference image or batch."""
+        ref = self._prepare(reference)
+        self.normalizer.fit(ref)
+        return self
+
+    def __call__(self, img: Any) -> jnp.ndarray:
+        was_single = hasattr(img, "ndim") and img.ndim == 3
+        batch = self._prepare(img)
+
+        if self.mode == "batch":
+            # Intentional: re-fits every call (transforms.py:222-227).
+            idx = self.batch_ref_index
+            if idx < 0 or idx >= batch.shape[0]:
+                raise IndexError(
+                    f"batch_ref_index={idx} out of range for batch size {batch.shape[0]}"
+                )
+            self.normalizer.fit(batch[idx : idx + 1])
+
+        result = self.normalizer.transform(batch)
+        return result[0] if was_single else result
+
+    # torch-style alias so existing pipelines can call .forward(...)
+    forward = __call__

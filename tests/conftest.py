@@ -1,0 +1,58 @@
+"""Test configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths are
+exercised without TPU hardware (the JAX-idiomatic "fake backend" — SURVEY §4;
+``XLA_FLAGS=--xla_force_host_platform_device_count=8``). Set
+``STAINX_TEST_TPU=1`` to run the suite on real accelerators instead.
+
+Fixture style follows the reference's ``tests/conftest.py``: seeded uint8
+image fixtures; no mocks — absent hardware features skip, never simulate.
+"""
+
+from __future__ import annotations
+
+import os
+
+if os.environ.get("STAINX_TEST_TPU") != "1":
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+    import jax
+
+    # The env may pre-register an accelerator plugin and force it via
+    # JAX_PLATFORMS; jax.config wins over the env var.
+    jax.config.update("jax_platforms", "cpu")
+
+import sys
+from pathlib import Path
+
+_REPO_ROOT = str(Path(__file__).resolve().parent.parent)
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def uint8_batch(rng):
+    """Seeded uint8 NCHW noise batch (4, 3, 32, 32)."""
+    return rng.integers(0, 256, size=(4, 3, 32, 32), dtype=np.uint8)
+
+
+@pytest.fixture
+def uint8_image(rng):
+    """Seeded uint8 NCHW single image (1, 3, 64, 64)."""
+    return rng.integers(0, 256, size=(1, 3, 64, 64), dtype=np.uint8)
+
+
+@pytest.fixture
+def float_batch(rng):
+    """Seeded float32 [0, 1] NCHW batch (4, 3, 32, 32)."""
+    return rng.random((4, 3, 32, 32), dtype=np.float32)

@@ -1,0 +1,91 @@
+"""Histogram matching correctness vs the numpy oracle, across channel_axis
+layouts (reference gate: ATOL=1 vs skimage across 4 layouts,
+``test_correctness_against_references.py:215-225``)."""
+
+import numpy as np
+import pytest
+
+from stainx_tpu import HistogramMatching
+from stainx_tpu.ops import histogram_matching as hm_ops
+
+from tests.oracles import numpy_reference as oracle
+
+ATOL = 1.0
+
+
+def _noise(shape, seed, dtype=np.uint8):
+    rng = np.random.default_rng(seed)
+    if dtype == np.uint8:
+        return rng.integers(0, 256, size=shape, dtype=np.uint8)
+    return rng.random(shape, dtype=np.float32)
+
+
+@pytest.mark.parametrize("channel_axis", [1, -3, -1, 3])
+def test_vs_oracle_uint8(channel_axis):
+    ref_nchw = _noise((1, 3, 64, 64), 42)
+    src_nchw = _noise((2, 3, 64, 64), 123)
+    if channel_axis in (-1, 3):
+        ref_in = np.transpose(ref_nchw, (0, 2, 3, 1))
+        src_in = np.transpose(src_nchw, (0, 2, 3, 1))
+    else:
+        ref_in, src_in = ref_nchw, src_nchw
+
+    norm = HistogramMatching(device="cpu", channel_axis=channel_axis)
+    result = np.asarray(norm.fit(ref_in).transform(src_in))
+
+    expected = oracle.hm_transform(
+        src_in, oracle.hm_fit(ref_in, channel_axis), channel_axis
+    )
+    assert result.dtype == np.uint8
+    assert result.shape == src_in.shape
+    np.testing.assert_allclose(
+        result.astype(np.float32), expected.astype(np.float32), atol=ATOL, rtol=0
+    )
+
+
+def test_vs_oracle_float():
+    ref = _noise((1, 3, 48, 48), 3, np.float32)
+    src = _noise((2, 3, 48, 48), 4, np.float32)
+    result = np.asarray(HistogramMatching(device="cpu").fit(ref).transform(src))
+    expected = oracle.hm_transform(src, oracle.hm_fit(ref))
+    assert result.dtype == np.float32
+    # 1.01: float→uint8 truncation can flip a bin by one ulp at the boundary.
+    np.testing.assert_allclose(result * 255, expected * 255, atol=ATOL + 0.01, rtol=0)
+
+
+def test_histogram_256_matches_bincount(uint8_batch):
+    flat = np.transpose(uint8_batch, (1, 0, 2, 3)).reshape(3, -1)
+    counts = np.asarray(hm_ops.histogram_256(flat))
+    for c in range(3):
+        np.testing.assert_array_equal(
+            counts[c], np.bincount(flat[c], minlength=256).astype(np.float32)
+        )
+
+
+def test_identity_matching(uint8_batch):
+    """Matching an image to its own histogram must be (nearly) identity."""
+    norm = HistogramMatching(device="cpu")
+    out = np.asarray(norm.fit(uint8_batch).transform(uint8_batch))
+    np.testing.assert_allclose(
+        out.astype(np.float32), uint8_batch.astype(np.float32), atol=ATOL, rtol=0
+    )
+
+
+def test_single_histogram_broadcast(uint8_batch):
+    """A single 1D 256-bin reference histogram broadcasts to all channels
+    (CUDA wrapper coercion, ``torch_cuda_backend.py:61-68``)."""
+    norm = HistogramMatching(device="cpu")
+    norm.fit(uint8_batch)
+    single = np.asarray(norm._ref_histograms_256)[0]
+    norm._ref_histograms_256 = single  # 1D
+    out = np.asarray(norm.transform(uint8_batch))
+    assert out.shape == uint8_batch.shape
+
+
+def test_ref_cdf_vals_views(uint8_batch):
+    norm = HistogramMatching(device="cpu").fit(uint8_batch)
+    assert len(norm._ref_cdf) == 3
+    assert len(norm._ref_vals) == 3
+    assert norm._reference_histogram.shape == (256,)
+    cdf0 = np.asarray(norm._ref_cdf[0])
+    assert abs(cdf0[-1] - 1.0) < 1e-5

@@ -1,0 +1,179 @@
+"""Macenko correctness vs the numpy oracle on synthetic Beer–Lambert H&E
+fixtures (random RGB noise makes the stain plane ill-posed — reference
+rationale at ``test_correctness_against_references.py:31-44``).
+
+Gates (reference ``docs/correctness_report.md:22``): pixel ATOL=2,
+MAE ≤ 0.35, fitted HE / maxC close.
+"""
+
+import numpy as np
+import pytest
+
+from stainx_tpu import Macenko
+from stainx_tpu.ops import eigh3
+from stainx_tpu.ops import macenko as macenko_ops
+from stainx_tpu.ops import percentile as pct
+
+from tests.oracles import numpy_reference as oracle
+
+MACENKO_ATOL = 2.0
+MACENKO_MAE = 0.35
+
+
+def _pair(h, w):
+    return oracle.synthetic_he_tile(h, w, seed=42, he_scale=1.0), oracle.synthetic_he_tile(
+        h, w, seed=123, he_scale=1.15
+    )
+
+
+class TestEigh3:
+    @pytest.mark.parametrize("seed", range(5))
+    def test_eigvals_match_lapack(self, seed):
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal((50, 3)).astype(np.float32)
+        a = np.cov(x.T).astype(np.float32)
+        ours = np.asarray(eigh3.eigvalsh3(a[None]))[0]
+        ref = np.linalg.eigvalsh(a)
+        np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+    @pytest.mark.parametrize("seed", range(5))
+    def test_eigvecs_span(self, seed):
+        """Eigenvectors match LAPACK's up to sign."""
+        rng = np.random.default_rng(seed)
+        x = rng.standard_normal((200, 3)).astype(np.float32) * [1.0, 2.0, 5.0]
+        a = np.cov(x.T).astype(np.float32)
+        ours = np.asarray(eigh3.eigh3_top2(a[None]))[0]  # (3, 2)
+        _, ref_vecs = np.linalg.eigh(a)
+        for col, ref_col in enumerate([ref_vecs[:, 1], ref_vecs[:, 2]]):
+            dot = abs(float(ours[:, col] @ ref_col))
+            assert dot > 1.0 - 1e-4, f"col {col}: |dot|={dot}"
+
+    def test_batched(self):
+        rng = np.random.default_rng(0)
+        mats = []
+        for _ in range(8):
+            x = rng.standard_normal((64, 3)).astype(np.float32)
+            mats.append(np.cov(x.T).astype(np.float32))
+        mats = np.stack(mats)
+        ours = np.asarray(eigh3.eigvalsh3(mats))
+        ref = np.linalg.eigvalsh(mats)
+        np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-4)
+
+
+class TestPercentile:
+    @pytest.mark.parametrize("n", [7, 100, 101, 151, 4096])
+    @pytest.mark.parametrize("q", [1, 50, 99])
+    def test_nearest_rank_index_matches_python_round(self, n, q):
+        import jax.numpy as jnp
+
+        idx = int(pct.nearest_rank_index(q, jnp.asarray([n]))[0])
+        expected = max(round(0.01 * q * (n - 1)), 0)
+        assert idx == expected
+        assert pct.static_nearest_rank_index(q, n) == expected
+
+    @pytest.mark.parametrize("q", [1, 99])
+    def test_masked_percentile_matches_oracle(self, q):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((3, 1000)).astype(np.float32)
+        mask = rng.random((3, 1000)) < 0.7
+        k = pct.static_bound_for_alpha(1, 1000)
+        got = np.asarray(
+            pct.masked_nearest_rank_percentile(
+                jnp.asarray(x), jnp.asarray(mask), jnp.asarray(mask.sum(1)), q, k
+            )
+        )
+        for i in range(3):
+            vals = np.sort(x[i][mask[i]])
+            expected = vals[round(0.01 * q * (vals.size - 1))]
+            np.testing.assert_allclose(got[i], expected, rtol=1e-6)
+
+    def test_percentile_all_matches_oracle(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal((4, 513)).astype(np.float32)
+        got = np.asarray(pct.percentile_all(jnp.asarray(x), 99))
+        for i in range(4):
+            expected = oracle._percentile(x[i], 99)
+            np.testing.assert_allclose(got[i], expected, rtol=1e-6)
+
+
+class TestMacenkoVsOracle:
+    @pytest.mark.parametrize("hw", [(64, 64), (128, 128), (96, 160)])
+    def test_fit_matches_oracle(self, hw):
+        ref_img, _ = _pair(*hw)
+        he, max_conc = macenko_ops.macenko_fit(ref_img)
+        he_o, max_conc_o = oracle.macenko_fit(ref_img)
+        np.testing.assert_allclose(np.asarray(he), he_o, atol=5e-3, rtol=0)
+        np.testing.assert_allclose(np.asarray(max_conc), max_conc_o, rtol=2e-2)
+
+    @pytest.mark.parametrize("hw", [(64, 64), (128, 128), (96, 160), (256, 256)])
+    def test_transform_matches_oracle_uint8(self, hw):
+        ref_img, src = _pair(*hw)
+        norm = Macenko(device="cpu")
+        result = np.asarray(norm.fit(ref_img).transform(src)).astype(np.float32)
+
+        he_o, mc_o = oracle.macenko_fit(ref_img)
+        expected = oracle.macenko_transform(src, he_o, mc_o).astype(np.float32)
+
+        mae = np.abs(result - expected).mean()
+        assert mae <= MACENKO_MAE, f"MAE {mae} > {MACENKO_MAE}"
+        mismatch = (np.abs(result - expected) > MACENKO_ATOL).mean()
+        assert mismatch < 0.005, f"{mismatch:.2%} of pixels differ by > {MACENKO_ATOL}"
+
+    def test_transform_float_input(self):
+        ref_img, src = _pair(96, 96)
+        src_f = src.astype(np.float32) / 255.0
+        norm = Macenko(device="cpu")
+        norm.fit(ref_img)
+        out = np.asarray(norm.transform(src_f))
+        assert out.dtype == np.float32
+        # float path: output in [0, 255] when normalize_to_0_1=False
+        assert out.max() > 10.0
+
+    def test_normalize_to_0_1(self):
+        ref_img, src = _pair(64, 64)
+        norm = Macenko(device="cpu", normalize_to_0_1=True)
+        out = np.asarray(norm.fit(ref_img).transform(src))
+        assert out.max() <= 1.0 + 1e-6
+
+    def test_batch_consistency(self):
+        """Batched transform must equal per-image transforms (the reference
+        needed a Python loop for this — torch_backend.py:556-558)."""
+        ref_img, _ = _pair(64, 64)
+        srcs = [oracle.synthetic_he_tile(64, 64, seed=s, he_scale=1.1) for s in (5, 6, 7)]
+        batch = np.concatenate(srcs, axis=0)
+        norm = Macenko(device="cpu").fit(ref_img)
+        batched = np.asarray(norm.transform(batch)).astype(np.float32)
+        for i, s in enumerate(srcs):
+            single = np.asarray(norm.transform(s)).astype(np.float32)
+            np.testing.assert_allclose(batched[i], single[0], atol=1e-3)
+
+    def test_precision_fast_close_to_stable(self):
+        ref_img, src = _pair(128, 128)
+        stable = Macenko(device="cpu", precision="stable").fit(ref_img)
+        fast = Macenko(device="cpu", precision="fast")
+        fast.load_state(stable.state)
+        out_s = np.asarray(stable.transform(src)).astype(np.float32)
+        out_f = np.asarray(fast.transform(src)).astype(np.float32)
+        assert np.abs(out_s - out_f).mean() <= 1.0
+
+    def test_precision_validation(self):
+        with pytest.raises(ValueError, match="precision"):
+            Macenko(device="cpu", precision="bogus")
+
+    def test_white_image_fallback(self):
+        """All-white tile: no pixel passes the β filter → all-pixels fallback
+        (macenko.cu:105-110); must not produce NaN."""
+        ref_img, _ = _pair(64, 64)
+        norm = Macenko(device="cpu").fit(ref_img)
+        white = np.full((1, 3, 32, 32), 255, np.uint8)
+        out = np.asarray(norm.transform(white))
+        assert np.isfinite(out.astype(np.float32)).all()
+
+    def test_layout_validation(self):
+        norm = Macenko(device="cpu")
+        with pytest.raises(ValueError, match="NCHW"):
+            norm.fit(np.zeros((1, 64, 64, 3), np.uint8))

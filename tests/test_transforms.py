@@ -1,0 +1,139 @@
+"""StainNormalizerTransform behavior (model: reference
+``tests/torch_interface/test_stain_normalizer_transform.py``)."""
+
+import numpy as np
+import pytest
+
+from stainx_tpu import HistogramMatching, Macenko, Reinhard, StainNormalizerTransform
+
+from tests.oracles import numpy_reference as oracle
+
+
+@pytest.fixture
+def he_ref():
+    return oracle.synthetic_he_tile(64, 64, seed=42)
+
+
+@pytest.fixture
+def he_batch():
+    tiles = [oracle.synthetic_he_tile(64, 64, seed=s, he_scale=1.1) for s in (1, 2, 3)]
+    return np.concatenate(tiles, axis=0)
+
+
+class TestConstruction:
+    def test_reference_mode_requires_reference(self):
+        with pytest.raises(ValueError, match="reference"):
+            StainNormalizerTransform(method="reinhard", mode="reference", device="cpu")
+
+    def test_invalid_mode(self, he_ref):
+        with pytest.raises(ValueError, match="mode"):
+            StainNormalizerTransform(mode="bogus", reference=he_ref, device="cpu")
+
+    def test_invalid_method(self, he_ref):
+        with pytest.raises(ValueError, match="method"):
+            StainNormalizerTransform(method="bogus", reference=he_ref, device="cpu")
+
+    def test_channel_axis_only_for_hm(self, he_ref):
+        with pytest.raises(ValueError, match="channel_axis"):
+            StainNormalizerTransform(method="reinhard", channel_axis=-1, reference=he_ref, device="cpu")
+
+    def test_n01_only_for_macenko(self, he_ref):
+        with pytest.raises(ValueError, match="normalize_to_0_1"):
+            StainNormalizerTransform(method="reinhard", normalize_to_0_1=True, reference=he_ref, device="cpu")
+
+    def test_prefitted_normalizer_skips_reference(self, he_ref):
+        norm = Reinhard(device="cpu").fit(he_ref)
+        t = StainNormalizerTransform(normalizer=norm, mode="reference", device="cpu")
+        assert t.normalizer is norm
+
+    def test_prebuilt_hm_axis_conflict(self):
+        hm = HistogramMatching(device="cpu", channel_axis=-1)
+        with pytest.raises(ValueError, match="conflicts"):
+            StainNormalizerTransform(normalizer=hm, mode="batch", channel_axis=-3, device="cpu")
+
+    def test_prebuilt_hm_axis_sync(self):
+        hm = HistogramMatching(device="cpu", channel_axis=-1)
+        t = StainNormalizerTransform(normalizer=hm, mode="batch", device="cpu")
+        assert t.channel_axis == -1
+
+
+class TestNormalizeTo01Default:
+    def test_macenko_defaults_true(self, he_ref, he_batch):
+        t = StainNormalizerTransform(method="macenko", reference=he_ref, device="cpu")
+        out = np.asarray(t(he_batch.astype(np.float32) / 255.0))
+        assert out.max() <= 1.0 + 1e-5
+
+    def test_macenko_explicit_false(self, he_ref, he_batch):
+        t = StainNormalizerTransform(
+            method="macenko", reference=he_ref, normalize_to_0_1=False, device="cpu"
+        )
+        out = np.asarray(t(he_batch))
+        assert out.max() > 1.0
+
+    def test_prebuilt_macenko_flag_synced(self, he_ref):
+        norm = Macenko(device="cpu", normalize_to_0_1=False).fit(he_ref)
+        StainNormalizerTransform(normalizer=norm, normalize_to_0_1=True, device="cpu")
+        assert norm.normalize_to_0_1 is True
+
+    def test_prebuilt_macenko_flag_untouched_when_unset(self, he_ref):
+        norm = Macenko(device="cpu", normalize_to_0_1=False).fit(he_ref)
+        StainNormalizerTransform(normalizer=norm, device="cpu")
+        assert norm.normalize_to_0_1 is False
+
+
+class TestForward:
+    def test_reference_mode_matches_manual(self, he_ref, he_batch):
+        t = StainNormalizerTransform(method="reinhard", reference=he_ref, device="cpu")
+        out = np.asarray(t(he_batch))
+        manual = np.asarray(Reinhard(device="cpu").fit(he_ref).transform(he_batch))
+        np.testing.assert_array_equal(out, manual)
+
+    def test_single_image_squeeze(self, he_ref):
+        t = StainNormalizerTransform(method="reinhard", reference=he_ref, device="cpu")
+        chw = oracle.synthetic_he_tile(64, 64, seed=9)[0]
+        out = np.asarray(t(chw))
+        assert out.shape == chw.shape
+
+    def test_batch_mode_refits_every_call(self, he_batch):
+        t = StainNormalizerTransform(method="reinhard", mode="batch", device="cpu")
+        t(he_batch)
+        first = np.asarray(t.normalizer._reference_mean)
+        other = np.concatenate(
+            [oracle.synthetic_he_tile(64, 64, seed=s, he_scale=0.8) for s in (7, 8)], axis=0
+        )
+        t(other)
+        second = np.asarray(t.normalizer._reference_mean)
+        assert not np.allclose(first, second)
+
+    def test_batch_ref_index_out_of_range(self, he_batch):
+        t = StainNormalizerTransform(method="reinhard", mode="batch", batch_ref_index=10, device="cpu")
+        with pytest.raises(IndexError, match="batch_ref_index"):
+            t(he_batch)
+
+    def test_nhwc_rejected_for_macenko(self, he_ref):
+        t = StainNormalizerTransform(method="macenko", reference=he_ref, device="cpu")
+        nhwc = np.transpose(he_ref, (0, 2, 3, 1))
+        with pytest.raises(ValueError, match="NCHW"):
+            t(nhwc)
+
+    def test_hm_channels_last(self, he_ref, he_batch):
+        nhwc_ref = np.transpose(he_ref, (0, 2, 3, 1))
+        nhwc_batch = np.transpose(he_batch, (0, 2, 3, 1))
+        t = StainNormalizerTransform(
+            method="histogram_matching", channel_axis=-1, reference=nhwc_ref, device="cpu"
+        )
+        out = np.asarray(t(nhwc_batch))
+        assert out.shape == nhwc_batch.shape
+
+    def test_float_above_one_not_rescaled(self, he_ref):
+        """ColorJitter regression (reference test :117-127): float inputs
+        beyond 1 stay on the [0,1]-float path."""
+        t = StainNormalizerTransform(method="reinhard", reference=he_ref, device="cpu")
+        jittered = np.clip(he_ref.astype(np.float32) / 255.0 * 1.2, 0, 1.2)
+        out = np.asarray(t(jittered))
+        assert out.dtype == np.float32
+        assert out.max() <= 1.0 + 1e-5
+
+    def test_forward_alias(self, he_ref, he_batch):
+        t = StainNormalizerTransform(method="reinhard", reference=he_ref, device="cpu")
+        np.testing.assert_array_equal(np.asarray(t.forward(he_batch)), np.asarray(t(he_batch)))
