@@ -1,0 +1,35 @@
+# Developer entry points (counterpart of the reference Makefile's
+# install/test/lint/docs targets — minus its CUDA build gymnastics).
+
+PY ?= python
+
+.PHONY: install install-dev test test-tpu bench lint fix docs clean
+
+install:
+	$(PY) -m pip install -e .
+
+install-dev:
+	$(PY) -m pip install -e ".[dev]"
+
+test:
+	$(PY) -m pytest tests/ -q
+
+# Run the suite on real TPU hardware instead of the virtual CPU mesh.
+test-tpu:
+	STAINX_TEST_TPU=1 $(PY) -m pytest tests/ -q -m "not slow"
+
+bench:
+	$(PY) bench.py
+
+grid:
+	$(PY) -m benchmarks.benchmark_grid --method macenko
+
+lint:
+	$(PY) -m ruff check stainx_tpu tests benchmarks examples
+
+fix:
+	$(PY) -m ruff check --fix stainx_tpu tests benchmarks examples
+
+clean:
+	rm -rf build dist *.egg-info .pytest_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +

@@ -1,0 +1,99 @@
+"""Throughput grid over (method × batch × size) — the TPU counterpart of the
+reference's backend benchmark (``benchmarks/benchmark_stainx_backend.py:86-93``:
+batch {32..512} × size {16..512}², warmup + timed runs, img/s).
+
+Usage::
+
+    python -m benchmarks.benchmark_grid --method macenko --batch-size 32 64 \
+        --image-size 128 256 512 --runs 10
+
+Prints a row per configuration: img/s, MPix/s, and MAE vs the CPU oracle
+(on a small probe batch) so every speed claim carries its fidelity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
+
+import jax
+import numpy as np
+
+from benchmarks.utils import mae, synthetic_he_batch, time_on_device
+
+
+def _build(method: str, ref: np.ndarray):
+    from stainx_tpu.ops import histogram_matching as hm_ops
+    from stainx_tpu.ops import macenko as mk_ops
+    from stainx_tpu.ops import reinhard as rh_ops
+
+    if method == "macenko":
+        params = mk_ops.macenko_fit(jax.device_put(ref))
+        return lambda x: mk_ops.macenko_transform(x, *params)
+    if method == "reinhard":
+        params = rh_ops.reinhard_fit(jax.device_put(ref))
+        return lambda x: rh_ops.reinhard_transform(x, *params)
+    if method == "histogram_matching":
+        hist = hm_ops.hm_fit(jax.device_put(ref))
+        return lambda x: hm_ops.hm_transform(x, hist)
+    raise ValueError(method)
+
+
+def _oracle_probe(method: str, ref: np.ndarray, src: np.ndarray) -> np.ndarray:
+    from oracles import numpy_reference as oracle
+
+    if method == "macenko":
+        he, mc = oracle.macenko_fit(ref)
+        return oracle.macenko_transform(src, he, mc)
+    if method == "reinhard":
+        return oracle.reinhard_transform(src, *oracle.reinhard_fit(ref))
+    return oracle.hm_transform(src, oracle.hm_fit(ref))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--method", default="macenko", choices=["macenko", "reinhard", "histogram_matching"])
+    p.add_argument("--batch-size", nargs="+", type=int, default=[32, 64, 128])
+    p.add_argument("--image-size", nargs="+", type=int, default=[128, 256, 512])
+    p.add_argument("--runs", type=int, default=10)
+    p.add_argument("--json", action="store_true", help="emit one JSON line per config")
+    args = p.parse_args()
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/stainx_jax_cache")
+
+    for size in args.image_size:
+        ref = synthetic_he_batch(1, size, size, seed=42)
+        step = _build(args.method, ref)
+
+        probe = synthetic_he_batch(2, size, size, seed=7, he_scale=1.1)
+        probe_mae = mae(np.asarray(jax.jit(step)(jax.device_put(probe))), _oracle_probe(args.method, ref, probe))
+
+        for batch in args.batch_size:
+            src = jax.device_put(synthetic_he_batch(batch, size, size, seed=123, he_scale=1.15))
+            secs = time_on_device(step, src, runs=args.runs)
+            img_s = batch / secs
+            mpix_s = batch * size * size / 1e6 / secs
+            row = {
+                "method": args.method,
+                "batch": batch,
+                "size": size,
+                "img_per_s": round(img_s, 1),
+                "mpix_per_s": round(mpix_s, 2),
+                "mae_vs_oracle": round(probe_mae, 4),
+            }
+            if args.json:
+                print(json.dumps(row))
+            else:
+                print(
+                    f"{args.method} {batch}x3x{size}x{size}: {img_s:9.1f} img/s "
+                    f"{mpix_s:8.1f} MPix/s  (MAE {probe_mae:.4f})"
+                )
+
+
+if __name__ == "__main__":
+    main()

@@ -72,12 +72,16 @@ class HistogramMatching(NormalizerTemplate):
 
     def _compute_reference_params(self, images: jnp.ndarray) -> None:
         self._validate_layout(images)
-        self._ref_histograms_256 = hm_ops.hm_fit(images, channel_axis=self.channel_axis)
+        self._ref_histograms_256 = hm_ops.hm_fit(
+            images, channel_axis=self.channel_axis, use_pallas=self.backend == "pallas"
+        )
 
     def _transform_impl(self, images: jnp.ndarray) -> jnp.ndarray:
         self._validate_layout(images)
         ref = self._coerce_reference(self._ref_histograms_256, images)
-        return hm_ops.hm_transform(images, ref, channel_axis=self.channel_axis)
+        return hm_ops.hm_transform(
+            images, ref, channel_axis=self.channel_axis, use_pallas=self.backend == "pallas"
+        )
 
     def _coerce_reference(self, ref: Any, images: jnp.ndarray) -> jnp.ndarray:
         """Accept (C, 256) arrays, per-channel lists (padded / truncated to C)

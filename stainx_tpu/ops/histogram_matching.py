@@ -36,27 +36,26 @@ def _to_channels_first(images: jnp.ndarray, channel_axis: int) -> tuple[jnp.ndar
 def histogram_256(values_u8: jnp.ndarray) -> jnp.ndarray:
     """Per-channel 256-bin counts. ``values_u8``: (C, P) uint8 → (C, 256) f32.
 
-    Chunked one-hot reduction: each scan step fuses an equality compare with
-    the pixel-axis reduction, so no (C, P, 256) intermediate materializes.
+    One fused compare-and-reduce: XLA reduces the (C, P, 256) one-hot
+    virtually (never materialized). Replaced by the Pallas tiled-accumulator
+    kernel on the ``pallas`` backend.
     """
     c, p = values_u8.shape
     bins = jnp.arange(256, dtype=jnp.int32)
-
-    pad = (-p) % _HIST_CHUNK
-    padded = jnp.pad(values_u8.astype(jnp.int32), ((0, 0), (0, pad)), constant_values=-1)
-    chunks = padded.reshape(c, -1, _HIST_CHUNK)  # (C, S, B)
-
-    def step(acc, chunk):  # chunk: (C, B)
-        eq = chunk[:, :, None] == bins[None, None, :]  # (C, B, 256) — fused
-        return acc + jnp.sum(eq, axis=1, dtype=jnp.float32), None
-
-    init = jnp.zeros((c, 256), jnp.float32)
-    counts, _ = jax.lax.scan(step, init, jnp.moveaxis(chunks, 1, 0))
-    return counts
+    vals = values_u8.astype(jnp.int32).reshape(c, p, 1)
+    return jnp.sum(vals == bins[None, None, :], axis=1, dtype=jnp.float32)
 
 
-@partial(jax.jit, static_argnames=("channel_axis",))
-def hm_fit(images: jnp.ndarray, channel_axis: int = 1) -> jnp.ndarray:
+def _histogram(flat_u8: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
+    if use_pallas:
+        from stainx_tpu.kernels.histogram import histogram_256_pallas
+
+        return histogram_256_pallas(flat_u8)
+    return histogram_256(flat_u8)
+
+
+@partial(jax.jit, static_argnames=("channel_axis", "use_pallas"))
+def hm_fit(images: jnp.ndarray, channel_axis: int = 1, use_pallas: bool = False) -> jnp.ndarray:
     """Reference histograms, (C, 256) float32, rows normalized to sum 1.
 
     Matches ``compute_reference_histograms_torch`` (``torch_backend.py:143-179``):
@@ -67,7 +66,7 @@ def hm_fit(images: jnp.ndarray, channel_axis: int = 1) -> jnp.ndarray:
     images_u8, _ = color.images_to_uint8(images_cf)
     n, c, h, w = images_u8.shape
     flat = jnp.transpose(images_u8, (1, 0, 2, 3)).reshape(c, n * h * w)
-    counts = histogram_256(flat)
+    counts = _histogram(flat, use_pallas)
     return counts / (jnp.sum(counts, axis=1, keepdims=True) + 1e-8)
 
 
@@ -102,8 +101,13 @@ def hm_build_lut(source_counts: jnp.ndarray, ref_hist: jnp.ndarray, num_pixels: 
     return jnp.clip(lut, 0.0, 255.0)
 
 
-@partial(jax.jit, static_argnames=("channel_axis",))
-def hm_transform(images: jnp.ndarray, ref_histograms: jnp.ndarray, channel_axis: int = 1) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("channel_axis", "use_pallas"))
+def hm_transform(
+    images: jnp.ndarray,
+    ref_histograms: jnp.ndarray,
+    channel_axis: int = 1,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
     """Match each channel's histogram to the fitted reference histograms.
 
     Mirrors ``HistogramMatchingTorch.transform`` (``torch_backend.py:194-301``);
@@ -117,7 +121,7 @@ def hm_transform(images: jnp.ndarray, ref_histograms: jnp.ndarray, channel_axis:
     n, c, h, w = images_u8.shape
 
     flat = jnp.transpose(images_u8, (1, 0, 2, 3)).reshape(c, n * h * w)
-    source_counts = histogram_256(flat)
+    source_counts = _histogram(flat, use_pallas)
     lut = hm_build_lut(source_counts, ref_histograms.astype(jnp.float32), float(n * h * w))
 
     matched = lut[jnp.arange(c)[None, :, None, None], images_u8.astype(jnp.int32)]

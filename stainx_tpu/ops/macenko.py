@@ -22,8 +22,9 @@ TPU-first design choices (vs the CUDA structure):
   not the one-pass E[xxᵀ]−μμᵀ formula the reference needs fp64 for
   (``macenko.cu:9-31``) — centering removes the catastrophic cancellation,
   so f32 suffices on TPU where fp64 is emulated/absent.
-- Percentiles use ``lax.top_k`` with a small static k instead of full
-  O(P log P) sorts (see :mod:`stainx_tpu.ops.percentile`).
+- Percentiles use multi-level histogram refinement instead of full
+  O(P log P) sorts — 5× faster than TPU ``top_k``/``sort`` and free of
+  their compile-time k limits (see :mod:`stainx_tpu.ops.percentile`).
 - ``precision="fast"`` evaluates the projection and reconstruction in
   bf16 (the CUDA fast path's fp16 role, ``macenko.cu:116-191``);
   statistics, percentile ranks and the 2×2 solve stay f32.
@@ -39,9 +40,9 @@ import jax.numpy as jnp
 from stainx_tpu.ops import color
 from stainx_tpu.ops.eigh3 import eigh3_top2
 from stainx_tpu.ops.percentile import (
-    masked_nearest_rank_percentile,
-    percentile_all,
-    static_bound_for_alpha,
+    kth_smallest,
+    nearest_rank_index,
+    static_nearest_rank_index,
 )
 
 IO = 240.0
@@ -164,10 +165,16 @@ def _stain_separate(od_c, mask: jnp.ndarray, cnt: jnp.ndarray, proj_dtype):
     t0, t1 = _project_plane(od_c, evecs, proj_dtype)
     phi = jnp.arctan2(t1, t0)  # (N, P) f32
 
-    p = phi.shape[-1]
-    k_alpha = static_bound_for_alpha(ALPHA, p)
-    min_phi = masked_nearest_rank_percentile(phi, mask, cnt, ALPHA, k_alpha)
-    max_phi = masked_nearest_rank_percentile(phi, mask, cnt, 100 - ALPHA, k_alpha)
+    # Both φ percentiles in ONE selection instance (ranks stacked along the
+    # batch axis): halves the compiled code for the dominant op.
+    n = phi.shape[0]
+    ranks = jnp.concatenate(
+        [nearest_rank_index(ALPHA, cnt), nearest_rank_index(100 - ALPHA, cnt)]
+    )
+    vals = kth_smallest(
+        jnp.concatenate([phi, phi], axis=0), ranks, jnp.concatenate([mask, mask], axis=0)
+    )
+    min_phi, max_phi = vals[:n], vals[n:]
 
     return _he_from_phi_extremes(evecs, min_phi, max_phi), evecs
 
@@ -209,9 +216,13 @@ def macenko_transform(
     c0, c1 = _concentrations_2x2(he, od_c)  # (N, P) each
 
     # 99th percentile of each concentration over ALL pixels (static rank;
-    # macenko.cu:247-251 uses cnt_all = P).
-    max_c0 = percentile_all(c0, 99)  # (N,)
-    max_c1 = percentile_all(c1, 99)
+    # macenko.cu:247-251 uses cnt_all = P) — C0/C1 stacked into one
+    # selection instance.
+    idx99 = static_nearest_rank_index(99, p)
+    max_c = kth_smallest(
+        jnp.concatenate([c0, c1], axis=0), jnp.full((2 * n,), idx99, jnp.int32)
+    )
+    max_c0, max_c1 = max_c[:n], max_c[n:]
 
     tmc = target_max_conc.reshape(-1).astype(jnp.float32)
     cn0 = (c0 * (tmc[0] / max_c0)[:, None]).astype(proj_dtype)
@@ -255,5 +266,8 @@ def macenko_fit(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     he, _ = _stain_separate(od_c, mask, cnt, jnp.float32)
     c0, c1 = _concentrations_2x2(he, od_c)
 
-    max_conc = jnp.stack([percentile_all(c0, 99)[0], percentile_all(c1, 99)[0]])
+    idx99 = static_nearest_rank_index(99, ptot)
+    max_conc = kth_smallest(
+        jnp.concatenate([c0, c1], axis=0), jnp.full((2,), idx99, jnp.int32)
+    )
     return he[0], max_conc

@@ -54,15 +54,24 @@ class StainNormalizerTransform:
         batch_ref_index: int = 0,
         normalize_to_0_1: bool | None = None,
         normalizer: Any | None = None,
+        mesh: Any | None = None,
     ):
+        """``mesh``: optional ``jax.sharding.Mesh``. When set, batches are
+        sharded over the mesh's first axis, transforms run batch-parallel,
+        and batch-mode fits reduce their statistics across all chips
+        (exact psum'd moments/histograms — no reference-era equivalent;
+        SURVEY §2.3)."""
         from stainx_tpu.utils import get_device
 
         self.mode = mode
         self.channel_axis = channel_axis
         self.batch_ref_index = batch_ref_index
+        self.mesh = mesh
         # None = follow input device each call (transforms.py:89-90).
         self.device = None if device is None else get_device(device)
         self._requested_backend = backend
+        if mesh is not None and channel_axis not in _CHANNELS_FIRST:
+            raise ValueError("mesh execution currently requires NCHW (channel_axis=1).")
 
         if mode not in ("reference", "batch"):
             raise ValueError(f"Unsupported mode '{mode}'. Use 'reference' or 'batch'.")
@@ -188,19 +197,85 @@ class StainNormalizerTransform:
 
     def __call__(self, img: Any) -> jnp.ndarray:
         was_single = hasattr(img, "ndim") and img.ndim == 3
+        if self.mesh is not None:
+            result = self._forward_on_mesh(img)
+            return result[0] if was_single else result
         batch = self._prepare(img)
 
         if self.mode == "batch":
             # Intentional: re-fits every call (transforms.py:222-227).
+            # batch_ref_index=None extends the reference semantic: fit on
+            # the WHOLE batch rather than one designated image.
             idx = self.batch_ref_index
-            if idx < 0 or idx >= batch.shape[0]:
-                raise IndexError(
-                    f"batch_ref_index={idx} out of range for batch size {batch.shape[0]}"
-                )
-            self.normalizer.fit(batch[idx : idx + 1])
+            if idx is None:
+                self.normalizer.fit(batch)
+            else:
+                if idx < 0 or idx >= batch.shape[0]:
+                    raise IndexError(
+                        f"batch_ref_index={idx} out of range for batch size {batch.shape[0]}"
+                    )
+                self.normalizer.fit(batch[idx : idx + 1])
 
         result = self.normalizer.transform(batch)
         return result[0] if was_single else result
+
+    # ------------------------------------------------------------ mesh path
+    def _method_name(self) -> str:
+        for name, cls in _METHOD_MAP.items():
+            if isinstance(self.normalizer, cls):
+                return name
+        raise TypeError(f"Unknown normalizer type {type(self.normalizer)}")
+
+    def _mesh_params(self, method: str):
+        n = self.normalizer
+        if method == "macenko":
+            return (n._stain_matrix, n._target_max_conc)
+        if method == "reinhard":
+            return (n._reference_mean, n._reference_std)
+        return n._ref_histograms_256
+
+    def _store_mesh_params(self, method: str, params) -> None:
+        n = self.normalizer
+        if method == "macenko":
+            n._stain_matrix, n._target_max_conc = params
+        elif method == "reinhard":
+            n._reference_mean, n._reference_std = params
+        else:
+            n._ref_histograms_256 = params
+        n._is_fitted = True
+
+    def _forward_on_mesh(self, img: Any) -> jnp.ndarray:
+        """Sharded forward: batch-parallel transform; in batch mode the fit
+        statistics reduce across every chip of the mesh (batch_ref_index
+        selects one replicated image, as in the reference; ``None`` extends
+        the semantic to an exact whole-batch distributed fit)."""
+        from stainx_tpu import parallel
+
+        if not isinstance(img, jnp.ndarray):
+            img = jnp.asarray(np.asarray(img))
+        if img.ndim == 3:
+            img = img[None]
+        method = self._method_name()
+
+        if self.mode == "batch":
+            if self.batch_ref_index is None:
+                params = parallel.fit_on_mesh(method, img, self.mesh)
+            else:
+                idx = self.batch_ref_index
+                if idx < 0 or idx >= img.shape[0]:
+                    raise IndexError(
+                        f"batch_ref_index={idx} out of range for batch size {img.shape[0]}"
+                    )
+                self.normalizer.fit(img[idx : idx + 1])
+                params = self._mesh_params(method)
+            self._store_mesh_params(method, params)
+        else:
+            params = self._mesh_params(method)
+
+        result = parallel.transform_on_mesh(method, img, params, self.mesh)
+        if getattr(self.normalizer, "normalize_to_0_1", False):
+            result = result / 255.0
+        return result
 
     # torch-style alias so existing pipelines can call .forward(...)
     forward = __call__

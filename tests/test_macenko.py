@@ -71,17 +71,16 @@ class TestPercentile:
         assert idx == expected
         assert pct.static_nearest_rank_index(q, n) == expected
 
-    @pytest.mark.parametrize("q", [1, 99])
+    @pytest.mark.parametrize("q", [1, 50, 99])
     def test_masked_percentile_matches_oracle(self, q):
         import jax.numpy as jnp
 
         rng = np.random.default_rng(5)
         x = rng.standard_normal((3, 1000)).astype(np.float32)
         mask = rng.random((3, 1000)) < 0.7
-        k = pct.static_bound_for_alpha(1, 1000)
         got = np.asarray(
             pct.masked_nearest_rank_percentile(
-                jnp.asarray(x), jnp.asarray(mask), jnp.asarray(mask.sum(1)), q, k
+                jnp.asarray(x), jnp.asarray(mask), jnp.asarray(mask.sum(1)), q
             )
         )
         for i in range(3):
@@ -98,6 +97,27 @@ class TestPercentile:
         for i in range(4):
             expected = oracle._percentile(x[i], 99)
             np.testing.assert_allclose(got[i], expected, rtol=1e-6)
+
+    def test_kth_smallest_is_exact_element(self):
+        """The returned value must be an actual element of the array, within
+        the documented below-ulp final interval of the true rank value."""
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((2, 4096)).astype(np.float32)
+        rank = jnp.asarray([100, 4000], jnp.int32)
+        got = np.asarray(pct.kth_smallest(jnp.asarray(x), rank))
+        for i, r in enumerate([100, 4000]):
+            assert np.abs(x[i] - got[i]).min() == 0.0, "not an element of the array"
+            np.testing.assert_allclose(got[i], np.sort(x[i])[r], rtol=1e-6)
+
+    def test_duplicates(self):
+        import jax.numpy as jnp
+
+        x = np.full((1, 512), 3.0, np.float32)
+        x[0, :10] = np.arange(10)
+        got = np.asarray(pct.kth_smallest(jnp.asarray(x), jnp.asarray([400])))
+        np.testing.assert_allclose(got[0], 3.0)
 
 
 class TestMacenkoVsOracle:

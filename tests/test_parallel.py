@@ -1,0 +1,148 @@
+"""Distributed (multi-chip) paths on the virtual 8-device CPU mesh:
+sharded fits must match single-device fits (the reference has no
+distributed layer; exactness vs the single-chip implementation is the
+contract — SURVEY §2.3)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stainx_tpu import parallel
+from stainx_tpu.ops import histogram_matching as hm_ops
+from stainx_tpu.ops import macenko as macenko_ops
+from stainx_tpu.ops import reinhard as reinhard_ops
+from stainx_tpu.ops.percentile import static_nearest_rank_index
+
+from tests.oracles import numpy_reference as oracle
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return parallel.make_mesh(axis_names=("batch",))
+
+
+@pytest.fixture(scope="module")
+def he_batch():
+    tiles = [oracle.synthetic_he_tile(32, 32, seed=s, he_scale=1.0 + 0.02 * s) for s in range(8)]
+    return np.concatenate(tiles, axis=0)
+
+
+class TestDistributedPercentile:
+    @pytest.mark.parametrize("q", [1, 50, 99])
+    def test_matches_global_nearest_rank(self, mesh, q):
+        rng = np.random.default_rng(q)
+        x = rng.standard_normal(8 * 500).astype(np.float32)
+        mask = rng.random(8 * 500) < 0.8
+
+        def local(xs, ms):
+            return parallel.distributed_masked_percentile(xs, ms, q, "batch")
+
+        got = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=jax.sharding.PartitionSpec("batch"),
+                out_specs=jax.sharding.PartitionSpec(),
+                check_vma=False,
+            )
+        )(jnp.asarray(x), jnp.asarray(mask))
+
+        vals = np.sort(x[mask])
+        expected = vals[static_nearest_rank_index(q, vals.size)]
+        np.testing.assert_allclose(float(got), expected, rtol=1e-6)
+
+    def test_heavy_duplicates(self, mesh):
+        """Many identical values: result must still land on the duplicated
+        value (the documented near-identical-candidates regime)."""
+        x = np.full(8 * 400, 5.0, np.float32)
+        x[:100] = np.linspace(0, 1, 100, dtype=np.float32)
+        mask = np.ones_like(x, bool)
+
+        got = jax.jit(
+            jax.shard_map(
+                lambda xs, ms: parallel.distributed_masked_percentile(xs, ms, 99, "batch"),
+                mesh=mesh,
+                in_specs=jax.sharding.PartitionSpec("batch"),
+                out_specs=jax.sharding.PartitionSpec(),
+                check_vma=False,
+            )
+        )(jnp.asarray(x), jnp.asarray(mask))
+        np.testing.assert_allclose(float(got), 5.0, rtol=1e-6)
+
+
+class TestShardedFits:
+    def test_reinhard_fit_matches_single_device(self, mesh, he_batch):
+        mean_d, std_d = parallel.fit_on_mesh("reinhard", he_batch, mesh)
+        mean_s, std_s = reinhard_ops.reinhard_fit(jnp.asarray(he_batch))
+        np.testing.assert_allclose(np.asarray(mean_d), np.asarray(mean_s), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(std_d), np.asarray(std_s), rtol=1e-3, atol=1e-3)
+
+    def test_hm_fit_matches_single_device(self, mesh, he_batch):
+        hist_d = parallel.fit_on_mesh("histogram_matching", he_batch, mesh)
+        hist_s = hm_ops.hm_fit(jnp.asarray(he_batch))
+        np.testing.assert_allclose(np.asarray(hist_d), np.asarray(hist_s), atol=1e-6)
+
+    def test_macenko_fit_matches_single_device(self, mesh, he_batch):
+        he_d, mc_d = parallel.fit_on_mesh("macenko", he_batch, mesh)
+        he_s, mc_s = macenko_ops.macenko_fit(jnp.asarray(he_batch))
+        np.testing.assert_allclose(np.asarray(he_d), np.asarray(he_s), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(mc_d), np.asarray(mc_s), rtol=1e-2)
+
+
+class TestShardedTransforms:
+    def test_macenko_transform_on_mesh(self, mesh, he_batch):
+        params = macenko_ops.macenko_fit(jnp.asarray(he_batch[:1]))
+        out = parallel.transform_on_mesh("macenko", he_batch, params, mesh)
+        single = macenko_ops.macenko_transform(jnp.asarray(he_batch), *params)
+        np.testing.assert_allclose(
+            np.asarray(out).astype(np.float32), np.asarray(single).astype(np.float32), atol=1.0
+        )
+
+    def test_reinhard_transform_on_mesh_batch_global_stats(self, mesh, he_batch):
+        params = reinhard_ops.reinhard_fit(jnp.asarray(he_batch[:1]))
+        out = parallel.transform_on_mesh("reinhard", he_batch, params, mesh)
+        single = reinhard_ops.reinhard_transform(jnp.asarray(he_batch), *params)
+        # batch-global source stats must match the unsharded transform
+        np.testing.assert_allclose(
+            np.asarray(out).astype(np.float32), np.asarray(single).astype(np.float32), atol=1.0
+        )
+
+    def test_hm_transform_on_mesh(self, mesh, he_batch):
+        params = hm_ops.hm_fit(jnp.asarray(he_batch[:1]))
+        out = parallel.transform_on_mesh("histogram_matching", he_batch, params, mesh)
+        single = hm_ops.hm_transform(jnp.asarray(he_batch), params)
+        np.testing.assert_allclose(
+            np.asarray(out).astype(np.float32), np.asarray(single).astype(np.float32), atol=1.0
+        )
+
+
+def test_2d_mesh_fit(he_batch):
+    """Statistics fits also reduce over a 2D ('batch','pixel') mesh."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh = parallel.make_mesh(shape=(4, 2), axis_names=("batch", "pixel"))
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    import functools
+
+    imgs = jax.device_put(
+        jnp.asarray(he_batch), NamedSharding(mesh, PartitionSpec("batch", None, "pixel"))
+    )
+
+    @jax.jit
+    def run(x):
+        return jax.shard_map(
+            functools.partial(parallel.macenko_fit_sharded, axis_name=("batch", "pixel")),
+            mesh=mesh,
+            in_specs=PartitionSpec("batch", None, "pixel"),
+            out_specs=PartitionSpec(),
+                check_vma=False,
+        )(x)
+
+    he_d, mc_d = run(imgs)
+    he_s, mc_s = macenko_ops.macenko_fit(jnp.asarray(he_batch))
+    np.testing.assert_allclose(np.asarray(he_d), np.asarray(he_s), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(mc_d), np.asarray(mc_s), rtol=1e-2)

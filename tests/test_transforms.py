@@ -137,3 +137,49 @@ class TestForward:
     def test_forward_alias(self, he_ref, he_batch):
         t = StainNormalizerTransform(method="reinhard", reference=he_ref, device="cpu")
         np.testing.assert_array_equal(np.asarray(t.forward(he_batch)), np.asarray(t(he_batch)))
+
+
+class TestMeshExecution:
+    """StainNormalizerTransform over a device mesh (virtual 8-CPU)."""
+
+    @pytest.fixture
+    def mesh(self):
+        import jax
+
+        from stainx_tpu import parallel
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        return parallel.make_mesh(axis_names=("batch",))
+
+    @pytest.fixture
+    def big_batch(self):
+        tiles = [oracle.synthetic_he_tile(32, 32, seed=s, he_scale=1.1) for s in range(8)]
+        return np.concatenate(tiles, axis=0)
+
+    def test_reference_mode_on_mesh_matches_single_device(self, mesh, he_ref, big_batch):
+        t_mesh = StainNormalizerTransform(
+            method="reinhard", reference=he_ref, mesh=mesh, device="cpu"
+        )
+        t_single = StainNormalizerTransform(method="reinhard", reference=he_ref, device="cpu")
+        out_m = np.asarray(t_mesh(big_batch)).astype(np.float32)
+        out_s = np.asarray(t_single(big_batch)).astype(np.float32)
+        np.testing.assert_allclose(out_m, out_s, atol=1.0)
+
+    def test_batch_mode_whole_batch_distributed_fit(self, mesh, big_batch):
+        t = StainNormalizerTransform(
+            method="macenko", mode="batch", batch_ref_index=None, mesh=mesh, device="cpu"
+        )
+        out = np.asarray(t(big_batch))
+        assert out.shape == big_batch.shape
+        assert np.isfinite(out.astype(np.float32)).all()
+        # fitted state was stored back onto the normalizer
+        assert t.normalizer._stain_matrix.shape == (3, 2)
+
+    def test_batch_mode_whole_batch_single_device_matches_manual(self, he_batch):
+        t = StainNormalizerTransform(
+            method="reinhard", mode="batch", batch_ref_index=None, device="cpu"
+        )
+        out = np.asarray(t(he_batch))
+        manual = np.asarray(Reinhard(device="cpu").fit(he_batch).transform(he_batch))
+        np.testing.assert_array_equal(out, manual)
