@@ -59,7 +59,8 @@ def main() -> None:
     ref = jax.device_put(_synthetic_he(1, SIZE, SIZE, seed=42))
     batch = jax.device_put(_synthetic_he(BATCH, SIZE, SIZE, seed=123))
 
-    he, tmc = macenko_fit(ref)
+    use_pallas = jax.default_backend() == "tpu"  # what Macenko() auto-selects
+    he, tmc = macenko_fit(ref, use_pallas=use_pallas)
 
     # Delta timing with chained dispatches: each iteration consumes the
     # previous output (uint8→uint8, same shape) so executions can't be
@@ -68,7 +69,7 @@ def main() -> None:
     # return early; a value fetch cannot lie). The 1-iteration run's time
     # is subtracted to cancel dispatch/fetch overhead. (Wrapping the chain
     # in lax.scan instead sends XLA:TPU compile time pathological.)
-    step = jax.jit(lambda v: macenko_transform(v, he, tmc))
+    step = jax.jit(lambda v: macenko_transform(v, he, tmc, use_pallas=use_pallas))
     probe = jax.jit(lambda v: v[0, 0, 0, 0].astype(jnp.float32))
 
     def run(iters: int) -> float:

@@ -1,0 +1,150 @@
+"""Pallas TPU kernel: rank selection by radix descent on VMEM-resident rows.
+
+The jnp selection (:mod:`stainx_tpu.ops.percentile`) re-reads the pixel
+field from HBM on every refinement level and materializes sentinel/validity
+copies between levels. This kernel keeps an **entire row resident in VMEM**
+(1 MB for 512² tiles) and runs the whole descent inside one grid step: one
+HBM read of the data total, K ranks per row sharing the load (the Macenko
+φ chain needs the 1st and 99th percentiles of the same field).
+
+Algorithm: **radix select** over the monotone integer mapping of f32
+(``key = bits XOR (sign ? 0xFFFFFFFF : 0x80000000)``, which orders exactly
+like the floats). Each level splits the current key-prefix group by its
+next 4 bits; group membership is an integer equality against the carried
+prefix — recomputed exactly at every level (no float interval arithmetic,
+no possibility of the quantum-wobble element loss that value-space
+refinement must guard against), and the while carry is three scalars, which
+is all Mosaic supports. At most 8 levels; early exit once the target bucket
+holds one element. Bit-exact by construction.
+
+Replaces the role of the reference's full-sort percentile machinery
+(``src/stainx_cuda_torch/csrc/macenko.cu:52-58,209-216``) the TPU way: no
+sort, no atomics, fixed shapes. Rows larger than the VMEM budget fall back
+to the jnp path (handled by the caller).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stainx_tpu.kernels import interpret_mode
+
+_B = 16  # 4 radix bits per level
+_LANE = 128
+_MAX_ROW_BYTES = 4 * 1024 * 1024  # VMEM budget per resident row (f32)
+MAX_ROW_ELEMS = _MAX_ROW_BYTES // 4
+
+
+def _monotone_key(x):
+    """uint32 key ordering exactly like the f32 values (+inf sorts above all
+    finite values — masked-out elements are encoded as +inf by the caller)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    sign = (u >> 31).astype(jnp.uint32)
+    flip = jnp.where(sign == 1, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
+    return u ^ flip
+
+
+def _unkey(key):
+    """Inverse of :func:`_monotone_key` for a scalar uint32."""
+    sign = (key >> 31).astype(jnp.uint32)
+    flip = jnp.where(sign == 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
+    return jax.lax.bitcast_convert_type(key ^ flip, jnp.float32)
+
+
+def _select_kernel(ranks_ref, x_ref, out_ref, *, k_ranks: int):
+    i = pl.program_id(0)
+    x = x_ref[0]  # (S, 128) f32; +inf = masked/padding
+    key = _monotone_key(x)
+
+    for k in range(k_ranks):
+        r0 = ranks_ref[i, k]
+
+        def cond(state):
+            _, _, it, done = state
+            return jnp.logical_not(done) & (it < 8)
+
+        def body(state):
+            prefix, r, it, _ = state
+            shift = (28 - 4 * it).astype(jnp.uint32)  # ∈ {28, 24, …, 0}
+            # Logical shifts with matching unsigned dtypes — mixed
+            # uint32>>int32 promotes to signed and turns arithmetic.
+            group = jax.lax.shift_right_logical(
+                key, jnp.broadcast_to(shift, key.shape)
+            )  # (S, 128) uint32
+            base = jax.lax.shift_left(prefix, jnp.uint32(4))
+            counts = [
+                jnp.sum((group == (base | jnp.uint32(j))).astype(jnp.int32))
+                for j in range(_B)
+            ]
+            cums = []
+            cum = jnp.int32(0)
+            for j in range(_B):
+                cum = cum + counts[j]
+                cums.append(cum)
+            bsel = jnp.int32(0)
+            for j in range(_B):
+                bsel = bsel + (cums[j] <= r).astype(jnp.int32)
+            bsel = jnp.minimum(bsel, _B - 1)
+            below = jnp.int32(0)
+            sel_count = counts[0]
+            for j in range(1, _B):
+                below = jnp.where(bsel == j, cums[j - 1], below)
+                sel_count = jnp.where(bsel == j, counts[j], sel_count)
+            new_prefix = base | bsel.astype(jnp.uint32)
+            return new_prefix, r - below, it + 1, sel_count <= 1
+
+        prefix, _, it, _ = jax.lax.while_loop(
+            cond, body, (jnp.uint32(0), r0, jnp.int32(0), jnp.asarray(False))
+        )
+
+        # Members share the consumed prefix (it ≥ 1 always ⇒ shift ≤ 28).
+        shift = (32 - 4 * it).astype(jnp.uint32)
+        member = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape)) == prefix
+        val = jnp.min(jnp.where(member, x, jnp.inf))
+        out_ref[i, k] = val
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def kth_smallest_pallas(
+    x: jnp.ndarray,
+    ranks: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """(R, P) f32 with +inf sentinels, ranks (R, K) int32 → (R, K) values.
+
+    Bit-exact nearest-rank selection (radix descent). P is padded to a
+    (8·128) multiple with +inf (sorts above every valid rank). Rows must fit
+    the VMEM budget (``P ≤ MAX_ROW_ELEMS``); callers fall back to
+    :func:`stainx_tpu.ops.percentile.kth_smallest` beyond it.
+    """
+    if interpret is None:
+        interpret = interpret_mode()
+    rows, p = x.shape
+    k_ranks = ranks.shape[1]
+    pad = (-p) % (8 * _LANE)
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad)), constant_values=jnp.inf)
+    s = x.shape[1] // _LANE
+    x3 = x.reshape(rows, s, _LANE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(rows,),
+        in_specs=[
+            pl.BlockSpec((1, s, _LANE), lambda i, ranks: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+    )
+
+    kernel = functools.partial(_select_kernel, k_ranks=k_ranks)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, k_ranks), jnp.float32),
+        interpret=interpret,
+    )(ranks.astype(jnp.int32), x3)

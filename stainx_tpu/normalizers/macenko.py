@@ -64,7 +64,9 @@ class Macenko(NormalizerTemplate):
 
     def _compute_reference_params(self, images: jnp.ndarray) -> None:
         self._validate_layout(images, "fit")
-        self._stain_matrix, self._target_max_conc = macenko_ops.macenko_fit(images)
+        self._stain_matrix, self._target_max_conc = macenko_ops.macenko_fit(
+            images, use_pallas=self.backend == "pallas"
+        )
         self._concentration_matrix = None
 
     def _transform_impl(self, images: jnp.ndarray) -> jnp.ndarray:
@@ -74,7 +76,11 @@ class Macenko(NormalizerTemplate):
                 f"stain_matrix must have shape (3, 2), got {tuple(self._stain_matrix.shape)}"
             )
         return macenko_ops.macenko_transform(
-            images, self._stain_matrix, self._target_max_conc, precision=self._precision
+            images,
+            self._stain_matrix,
+            self._target_max_conc,
+            precision=self._precision,
+            use_pallas=self.backend == "pallas",
         )
 
     @staticmethod

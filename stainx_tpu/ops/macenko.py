@@ -155,7 +155,18 @@ def _concentrations_2x2(he: jnp.ndarray, od_c) -> tuple[jnp.ndarray, jnp.ndarray
     return c0, c1
 
 
-def _stain_separate(od_c, mask: jnp.ndarray, cnt: jnp.ndarray, proj_dtype):
+def _pallas_selectable(p: int, use_pallas: bool) -> bool:
+    if not use_pallas:
+        return False
+    from stainx_tpu.kernels.selection import MAX_ROW_ELEMS
+
+    return p <= MAX_ROW_ELEMS
+
+
+def _stain_separate(
+    od_c, mask: jnp.ndarray, cnt: jnp.ndarray, proj_dtype, levels: int = 12,
+    use_pallas: bool = False,
+):
     """Shared fit/transform core: masked covariance → stain plane → φ
     percentile extremes → ordered H/E matrix. Returns (HE, evecs)."""
     weights = mask.astype(jnp.float32)
@@ -165,26 +176,40 @@ def _stain_separate(od_c, mask: jnp.ndarray, cnt: jnp.ndarray, proj_dtype):
     t0, t1 = _project_plane(od_c, evecs, proj_dtype)
     phi = jnp.arctan2(t1, t0)  # (N, P) f32
 
-    # Both φ percentiles in ONE selection instance (ranks stacked along the
-    # batch axis): halves the compiled code for the dominant op.
     n = phi.shape[0]
-    ranks = jnp.concatenate(
-        [nearest_rank_index(ALPHA, cnt), nearest_rank_index(100 - ALPHA, cnt)]
-    )
-    vals = kth_smallest(
-        jnp.concatenate([phi, phi], axis=0), ranks, jnp.concatenate([mask, mask], axis=0)
-    )
-    min_phi, max_phi = vals[:n], vals[n:]
+    rank_lo = nearest_rank_index(ALPHA, cnt)
+    rank_hi = nearest_rank_index(100 - ALPHA, cnt)
+
+    if _pallas_selectable(phi.shape[-1], use_pallas):
+        # One VMEM-resident radix-select pass per row yields BOTH φ
+        # percentiles (K=2) — the data is read from HBM exactly once.
+        from stainx_tpu.kernels.selection import kth_smallest_pallas
+
+        xs = jnp.where(mask, phi, jnp.inf)
+        vals = kth_smallest_pallas(xs, jnp.stack([rank_lo, rank_hi], axis=1))
+        min_phi, max_phi = vals[:, 0], vals[:, 1]
+    else:
+        # jnp path: both percentiles in ONE selection instance (ranks
+        # stacked along the batch axis) to halve the compiled code.
+        vals = kth_smallest(
+            jnp.concatenate([phi, phi], axis=0),
+            jnp.concatenate([rank_lo, rank_hi]),
+            jnp.concatenate([mask, mask], axis=0),
+            levels=levels,
+            cnt=jnp.concatenate([cnt, cnt]),
+        )
+        min_phi, max_phi = vals[:n], vals[n:]
 
     return _he_from_phi_extremes(evecs, min_phi, max_phi), evecs
 
 
-@partial(jax.jit, static_argnames=("precision",))
+@partial(jax.jit, static_argnames=("precision", "use_pallas"))
 def macenko_transform(
     images: jnp.ndarray,
     stain_matrix: jnp.ndarray,
     target_max_conc: jnp.ndarray,
     precision: str = "stable",
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Normalize a batch to the fitted stain matrix / max concentrations.
 
@@ -211,17 +236,29 @@ def macenko_transform(
     eff_mask = mask | use_all[:, None]
     cnt_eff = jnp.where(use_all, p, cnt)
 
-    proj_dtype = jnp.bfloat16 if precision == "fast" else jnp.float32
-    he, _ = _stain_separate(od_c, eff_mask, cnt_eff, proj_dtype)
+    # Fast mode trades the below-ulp percentile refinement for a 16^4-bin
+    # one (value error < range·6e-5 — ~0.01 grey on the output, far inside
+    # the reference's own fast-mode MAE budget) and runs the projection /
+    # reconstruction in bf16 (the CUDA fast path's fp16 role).
+    fast = precision == "fast"
+    proj_dtype = jnp.bfloat16 if fast else jnp.float32
+    levels = 4 if fast else 12  # 12 = adaptive-exact cap; 4 caps fast's depth
+    he, _ = _stain_separate(
+        od_c, eff_mask, cnt_eff, proj_dtype, levels=levels, use_pallas=use_pallas
+    )
     c0, c1 = _concentrations_2x2(he, od_c)  # (N, P) each
 
     # 99th percentile of each concentration over ALL pixels (static rank;
     # macenko.cu:247-251 uses cnt_all = P) — C0/C1 stacked into one
     # selection instance.
     idx99 = static_nearest_rank_index(99, p)
-    max_c = kth_smallest(
-        jnp.concatenate([c0, c1], axis=0), jnp.full((2 * n,), idx99, jnp.int32)
-    )
+    c_stack = jnp.concatenate([c0, c1], axis=0)
+    if _pallas_selectable(p, use_pallas):
+        from stainx_tpu.kernels.selection import kth_smallest_pallas
+
+        max_c = kth_smallest_pallas(c_stack, jnp.full((2 * n, 1), idx99, jnp.int32))[:, 0]
+    else:
+        max_c = kth_smallest(c_stack, jnp.full((2 * n,), idx99, jnp.int32), levels=levels)
     max_c0, max_c1 = max_c[:n], max_c[n:]
 
     tmc = target_max_conc.reshape(-1).astype(jnp.float32)
@@ -241,8 +278,8 @@ def macenko_transform(
     return color.preserve_dtype(rgb, original_dtype, was_uint8, result_in_0_255_range=True)
 
 
-@jax.jit
-def macenko_fit(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+@partial(jax.jit, static_argnames=("use_pallas",))
+def macenko_fit(images: jnp.ndarray, use_pallas: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fit the reference stain matrix (3, 2) and max concentrations (2,).
 
     Matches ``compute_reference_stain_matrix_torch``
@@ -263,11 +300,15 @@ def macenko_fit(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     mask = od_min >= BETA  # no fallback at fit (torch_backend.py:483-485)
     cnt = jnp.sum(mask, axis=-1)
 
-    he, _ = _stain_separate(od_c, mask, cnt, jnp.float32)
+    he, _ = _stain_separate(od_c, mask, cnt, jnp.float32, use_pallas=use_pallas)
     c0, c1 = _concentrations_2x2(he, od_c)
 
     idx99 = static_nearest_rank_index(99, ptot)
-    max_conc = kth_smallest(
-        jnp.concatenate([c0, c1], axis=0), jnp.full((2,), idx99, jnp.int32)
-    )
+    c_stack = jnp.concatenate([c0, c1], axis=0)
+    if _pallas_selectable(ptot, use_pallas):
+        from stainx_tpu.kernels.selection import kth_smallest_pallas
+
+        max_conc = kth_smallest_pallas(c_stack, jnp.full((2, 1), idx99, jnp.int32))[:, 0]
+    else:
+        max_conc = kth_smallest(c_stack, jnp.full((2,), idx99, jnp.int32))
     return he[0], max_conc

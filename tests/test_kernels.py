@@ -37,3 +37,74 @@ class TestHistogramKernel:
         out_x = np.asarray(hm_ops.hm_transform(jnp.asarray(src), hist, use_pallas=False))
         out_p = np.asarray(hm_ops.hm_transform(jnp.asarray(src), hist, use_pallas=True))
         np.testing.assert_array_equal(out_x, out_p)
+
+
+class TestSelectionKernel:
+    def test_matches_jnp_twin(self):
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.selection import kth_smallest_pallas
+        from stainx_tpu.ops.percentile import kth_smallest
+
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((4, 4096)).astype(np.float32)
+        ranks = np.array([[40, 4000], [0, 4095], [2048, 2049], [100, 200]], np.int32)
+        got = np.asarray(kth_smallest_pallas(jnp.asarray(x), jnp.asarray(ranks), interpret=True))
+        for i in range(4):
+            for k in range(2):
+                ref = np.asarray(
+                    kth_smallest(jnp.asarray(x[i : i + 1]), jnp.asarray([ranks[i, k]]))
+                )[0]
+                assert got[i, k] == ref == np.sort(x[i])[ranks[i, k]]
+
+    def test_masked_sentinels(self):
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.selection import kth_smallest_pallas
+
+        rng = np.random.default_rng(4)
+        x = rng.standard_normal((2, 3000)).astype(np.float32)
+        mask = rng.random((2, 3000)) < 0.6
+        xs = np.where(mask, x, np.inf).astype(np.float32)
+        cnt = mask.sum(1)
+        ranks = np.stack([cnt // 100, cnt * 99 // 100], 1).astype(np.int32)
+        got = np.asarray(kth_smallest_pallas(jnp.asarray(xs), jnp.asarray(ranks), interpret=True))
+        for i in range(2):
+            vals = np.sort(x[i][mask[i]])
+            assert got[i, 0] == vals[ranks[i, 0]]
+            assert got[i, 1] == vals[ranks[i, 1]]
+
+    def test_macenko_pallas_path_matches_xla(self):
+        from stainx_tpu.ops import macenko as mk
+
+        ref_img = oracle_tile(64)
+        src = oracle_tile(64, seed=9, he_scale=1.2)
+        import jax.numpy as jnp
+
+        he, tmc = mk.macenko_fit(jnp.asarray(ref_img))
+        out_x = np.asarray(mk.macenko_transform(jnp.asarray(src), he, tmc, use_pallas=False))
+        out_p = np.asarray(mk.macenko_transform(jnp.asarray(src), he, tmc, use_pallas=True))
+        np.testing.assert_allclose(
+            out_x.astype(np.float32), out_p.astype(np.float32), atol=1.0
+        )
+
+    def test_macenko_fit_pallas_matches_xla(self):
+        from stainx_tpu.ops import macenko as mk
+
+        import jax.numpy as jnp
+
+        ref_img = oracle_tile(64)
+        he_x, mc_x = mk.macenko_fit(jnp.asarray(ref_img), use_pallas=False)
+        he_p, mc_p = mk.macenko_fit(jnp.asarray(ref_img), use_pallas=True)
+        np.testing.assert_allclose(np.asarray(he_x), np.asarray(he_p), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(mc_x), np.asarray(mc_p), rtol=1e-5)
+
+
+def oracle_tile(size, seed=42, he_scale=1.0):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from oracles import numpy_reference as oracle
+
+    return oracle.synthetic_he_tile(size, size, seed=seed, he_scale=he_scale)

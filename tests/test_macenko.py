@@ -197,3 +197,47 @@ class TestMacenkoVsOracle:
         norm = Macenko(device="cpu")
         with pytest.raises(ValueError, match="NCHW"):
             norm.fit(np.zeros((1, 64, 64, 3), np.uint8))
+
+
+class TestSampledSelection:
+    """The strided-sample warm start must stay exact (it only localizes; an
+    exact full-data count repairs it, with a global-chain fallback)."""
+
+    def test_large_p_exact(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((2, 1 << 17)).astype(np.float32)
+        for q_rank in [1310, 65536, 129700]:
+            got = np.asarray(
+                pct.kth_smallest(jnp.asarray(x), jnp.asarray([q_rank, q_rank], jnp.int32))
+            )
+            for i in range(2):
+                assert got[i] == np.sort(x[i])[q_rank], (q_rank, i)
+
+    def test_large_p_masked(self):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(12)
+        x = rng.standard_normal((1, 1 << 17)).astype(np.float32)
+        mask = rng.random((1, 1 << 17)) < 0.5
+        cnt = mask.sum(1)
+        rank = np.array([int(cnt[0] * 0.99)], np.int32)
+        got = np.asarray(
+            pct.kth_smallest(jnp.asarray(x), jnp.asarray(rank), jnp.asarray(mask), cnt=jnp.asarray(cnt))
+        )
+        assert got[0] == np.sort(x[0][mask[0]])[rank[0]]
+
+    def test_skewed_across_shards_fallback_still_exact(self):
+        """Adversarial: a lattice-periodic pattern that could fool the
+        strided sample — exactness must survive via the repair/fallback."""
+        import jax.numpy as jnp
+
+        p = 1 << 17
+        x = np.zeros((1, p), np.float32)
+        # Periodic spikes exactly at the sample stride.
+        x[0, :: 64] = 1000.0
+        x[0, 1::2] = np.linspace(0, 1, p // 2, dtype=np.float32)
+        rank = np.array([int(p * 0.99)], np.int32)
+        got = np.asarray(pct.kth_smallest(jnp.asarray(x), jnp.asarray(rank)))
+        assert got[0] == np.sort(x[0])[rank[0]]
