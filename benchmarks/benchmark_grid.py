@@ -32,9 +32,13 @@ def _build(method: str, ref: np.ndarray):
     from stainx_tpu.ops import macenko as mk_ops
     from stainx_tpu.ops import reinhard as rh_ops
 
+    # Product-default compute path: Pallas kernels on TPU (what the
+    # normalizer classes auto-select), plain XLA elsewhere.
+    pallas = jax.default_backend() == "tpu"
+
     if method == "macenko":
-        params = mk_ops.macenko_fit(jax.device_put(ref))
-        return lambda x: mk_ops.macenko_transform(x, *params)
+        params = mk_ops.macenko_fit(jax.device_put(ref), use_pallas=pallas)
+        return lambda x: mk_ops.macenko_transform(x, *params, use_pallas=pallas)
     if method == "reinhard":
         params = rh_ops.reinhard_fit(jax.device_put(ref))
         return lambda x: rh_ops.reinhard_transform(x, *params)

@@ -1,0 +1,122 @@
+"""Pallas TPU kernel: fused Reinhard apply (RGB→LAB→affine→LAB→RGB).
+
+One VMEM pass per tile — the role of the reference's three-kernel CUDA
+chain (``csrc/reinhard.cu:45-139``: rgb_to_lab_kernel → statistics_matching
+→ lab_to_rgb_kernel) collapsed into a single kernel. Batch statistics stay
+outside (the reference also computes mean/std between kernels with ATen,
+``src/stainx_cuda_torch/csrc/reinhard.cu:81-83``); the twelve affine scalars
+arrive via scalar prefetch.
+
+The color math is shared with the jnp path
+(:func:`stainx_tpu.ops.color.rgb_planes_to_lab` /
+:func:`~stainx_tpu.ops.color.lab_planes_to_rgb`) — the kernel cannot drift
+from its twin.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stainx_tpu.kernels import interpret_mode
+from stainx_tpu.ops.color import lab_planes_to_rgb, rgb_planes_to_lab
+
+_LANE = 128
+_SUB = 8
+
+
+def _reinhard_kernel(params_ref, x_ref, out_ref, *, is_uint8: bool):
+    if is_uint8:
+        # Mosaic has no direct u8→f32 cast; hop through int32.
+        planes = [x_ref[0, c].astype(jnp.int32).astype(jnp.float32) / 255.0 for c in range(3)]
+    else:
+        planes = [x_ref[0, c].astype(jnp.float32) for c in range(3)]
+
+    lab = rgb_planes_to_lab(planes)
+    out_lab = []
+    for c in range(3):
+        mean = params_ref[0, c]
+        std = params_ref[1, c]
+        ref_mean = params_ref[2, c]
+        ref_std = params_ref[3, c]
+        out_lab.append(((lab[c] - mean) / (std + 1e-8)) * ref_std + ref_mean)
+
+    rgb = lab_planes_to_rgb(out_lab)
+    for c in range(3):
+        chan = jnp.clip(rgb[c], 0.0, 1.0)
+        if is_uint8:
+            # f32→u8 via int32 (no direct cast in Mosaic); truncation
+            # matches torch's .to(uint8) semantics.
+            chan = jnp.clip(chan * 255.0, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+        out_ref[0, c] = chan
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def reinhard_apply_pallas(
+    images: jnp.ndarray,
+    lab_mean: jnp.ndarray,
+    lab_std: jnp.ndarray,
+    reference_mean: jnp.ndarray,
+    reference_std: jnp.ndarray,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """Apply the Reinhard affine transfer in one fused pass.
+
+    ``images``: (N, 3, H, W) uint8 or float [0,1]; stats: (3,) each.
+    Output matches the input dtype (uint8 → [0,255], float → [0,1]).
+    """
+    if interpret is None:
+        interpret = interpret_mode()
+    is_uint8 = images.dtype == jnp.uint8
+    n, c, h, w = images.shape
+    p = h * w
+    pad = (-p) % (_SUB * _LANE)
+    flat = images.reshape(n, c, p)
+    if pad:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)))
+    s = flat.shape[2] // _LANE
+    x4 = flat.reshape(n, c, s, _LANE)
+
+    params = jnp.stack(
+        [
+            lab_mean.astype(jnp.float32),
+            lab_std.astype(jnp.float32),
+            reference_mean.astype(jnp.float32),
+            reference_std.astype(jnp.float32),
+        ]
+    )  # (4, 3)
+
+    # Tile the pixel dimension; each grid step sees all 3 channels.
+    tile_s = min(s, 512)
+    while s % tile_s:
+        tile_s -= 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n, s // tile_s),
+        in_specs=[
+            pl.BlockSpec(
+                (1, c, tile_s, _LANE), lambda i, t, params: (i, 0, t, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, c, tile_s, _LANE), lambda i, t, params: (i, 0, t, 0), memory_space=pltpu.VMEM
+        ),
+    )
+
+    kernel = functools.partial(_reinhard_kernel, is_uint8=is_uint8)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(x4.shape, images.dtype),
+        interpret=interpret,
+    )(params, x4)
+
+    out = out.reshape(n, c, s * _LANE)
+    if pad:
+        out = out[:, :, :p]
+    return out.reshape(n, c, h, w)

@@ -109,6 +109,21 @@ class NormalizerTemplate(StainNormalizerBase):
         self._is_fitted = all(getattr(self, n) is not None for n in self._required_state_attrs())
         return self
 
+    def save_state(self, path: str) -> None:
+        """Persist fitted parameters to an ``.npz`` file.
+
+        The reference deliberately excludes fitted parameters from torch
+        checkpoints (``transforms.py:63-68``); here persistence is explicit
+        and opt-in — the fitted state is a tiny enumerable pytree."""
+        if not self._is_fitted:
+            raise ValueError("Must call fit() before save_state()")
+        np.savez(path, **{k: np.asarray(v) for k, v in self.state.items() if v is not None})
+
+    def load_state_file(self, path: str) -> "NormalizerTemplate":
+        """Restore fitted parameters from :meth:`save_state` output."""
+        with np.load(path) as data:
+            return self.load_state({k: data[k] for k in data.files})
+
     def to_device(self, device: str | Any | None) -> "NormalizerTemplate":
         """Move fitted parameters to another device and re-run backend selection."""
         from stainx_tpu.utils import get_device

@@ -97,6 +97,55 @@ def _nchw(images: jnp.ndarray, channel_axis: int) -> tuple[jnp.ndarray, bool]:
     return images, False
 
 
+def rgb_planes_to_lab(planes):
+    """Plane-level sRGB[0,1] → scaled LAB (the math of ``torch_backend.py:
+    17-60``), usable both from the NCHW wrapper and inside Pallas kernels.
+    ``planes``: three broadcast-compatible float arrays (R, G, B)."""
+    linear = [jnp.where(p > 0.04045, ((p + 0.055) / 1.055) ** 2.4, p / 12.92) for p in planes]
+    xyz = _apply_3x3(_RGB2XYZ, linear)
+
+    def f(i):
+        t = xyz[i] / _XYZ_REF[i]
+        # power instead of cbrt: same math (t > 0 in the selected branch),
+        # and cbrt has no Pallas TPU lowering.
+        cube_root = jnp.power(jnp.maximum(t, 1e-12), 1.0 / 3.0)
+        return jnp.where(t > 0.008856, cube_root, 7.787 * t + 16.0 / 116.0)
+
+    f_x, f_y, f_z = f(0), f(1), f(2)
+    L = (116.0 * f_y - 16.0) * 2.55
+    a = 500.0 * (f_x - f_y) + 128.0
+    b = 200.0 * (f_y - f_z) + 128.0
+    return [L, a, b]
+
+
+def lab_planes_to_rgb(planes):
+    """Plane-level inverse of :func:`rgb_planes_to_lab`, clamped to [0, 1]."""
+    L = planes[0] / 2.55
+    a = planes[1] - 128.0
+    b = planes[2] - 128.0
+    fy = (L + 16.0) / 116.0
+    fx = a / 500.0 + fy
+    fz = fy - b / 200.0
+
+    def f_inv(t):
+        return jnp.where(t > 0.2068966, t**3, (t - 16.0 / 116.0) / 7.787)
+
+    xyz = [f_inv(fx) * _XYZ_REF[0], f_inv(fy) * _XYZ_REF[1], f_inv(fz) * _XYZ_REF[2]]
+    linear = _apply_3x3(_XYZ2RGB, xyz)
+    return [
+        jnp.clip(
+            jnp.where(
+                c > 0.0031308,
+                1.055 * jnp.power(jnp.maximum(c, 1e-12), 1.0 / 2.4) - 0.055,
+                12.92 * c,
+            ),
+            0.0,
+            1.0,
+        )
+        for c in linear
+    ]
+
+
 def rgb_to_lab(rgb: jnp.ndarray, channel_axis: int = 1) -> jnp.ndarray:
     """sRGB → LAB with OpenCV-style scaling (L×2.55, a/b+128).
 
@@ -108,20 +157,8 @@ def rgb_to_lab(rgb: jnp.ndarray, channel_axis: int = 1) -> jnp.ndarray:
     rgb = normalize_to_float(rgb)
     rgb, needs_permute = _nchw(rgb, channel_axis)
 
-    linear = jnp.where(rgb > 0.04045, ((rgb + 0.055) / 1.055) ** 2.4, rgb / 12.92)
-    planes = [linear[:, 0:1], linear[:, 1:2], linear[:, 2:3]]
-    xyz = _apply_3x3(_RGB2XYZ, planes)
-
-    def f(i):
-        t = xyz[i] / _XYZ_REF[i]
-        return jnp.where(t > 0.008856, jnp.cbrt(t), 7.787 * t + 16.0 / 116.0)
-
-    f_x, f_y, f_z = f(0), f(1), f(2)
-
-    L = (116.0 * f_y - 16.0) * 2.55
-    a = 500.0 * (f_x - f_y) + 128.0
-    b = 200.0 * (f_y - f_z) + 128.0
-    lab = jnp.concatenate([L, a, b], axis=1)
+    lab_planes = rgb_planes_to_lab([rgb[:, 0:1], rgb[:, 1:2], rgb[:, 2:3]])
+    lab = jnp.concatenate(lab_planes, axis=1)
 
     if needs_permute:
         lab = jnp.transpose(lab, (0, 2, 3, 1))
@@ -135,26 +172,8 @@ def lab_to_rgb(lab: jnp.ndarray, channel_axis: int = 1) -> jnp.ndarray:
     """
     lab, needs_permute = _nchw(lab, channel_axis)
 
-    L = lab[:, 0:1] / 2.55
-    a = lab[:, 1:2] - 128.0
-    b = lab[:, 2:3] - 128.0
-
-    fy = (L + 16.0) / 116.0
-    fx = a / 500.0 + fy
-    fz = fy - b / 200.0
-
-    def f_inv(t):
-        return jnp.where(t > 0.2068966, t**3, (t - 16.0 / 116.0) / 7.787)
-
-    xyz = [f_inv(fx) * _XYZ_REF[0], f_inv(fy) * _XYZ_REF[1], f_inv(fz) * _XYZ_REF[2]]
-    linear = jnp.concatenate(_apply_3x3(_XYZ2RGB, xyz), axis=1)
-
-    rgb = jnp.where(
-        linear > 0.0031308,
-        1.055 * jnp.power(jnp.maximum(linear, 1e-12), 1.0 / 2.4) - 0.055,
-        12.92 * linear,
-    )
-    rgb = jnp.clip(rgb, 0.0, 1.0)
+    rgb_planes = lab_planes_to_rgb([lab[:, 0:1], lab[:, 1:2], lab[:, 2:3]])
+    rgb = jnp.concatenate(rgb_planes, axis=1)
 
     if needs_permute:
         rgb = jnp.transpose(rgb, (0, 2, 3, 1))

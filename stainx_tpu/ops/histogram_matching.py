@@ -101,6 +101,29 @@ def hm_build_lut(source_counts: jnp.ndarray, ref_hist: jnp.ndarray, num_pixels: 
     return jnp.clip(lut, 0.0, 255.0)
 
 
+def _apply_lut(images_u8: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel 256-entry LUT application WITHOUT a gather.
+
+    XLA's TPU gather lowers to a serialized loop (~10× slower than the
+    arithmetic floor for this workload). The LUT is monotone but small, so
+    the lookup is evaluated as a fused compare-select sum over the 256
+    entries — the same Θ(bins)/element shape as the histogram itself, which
+    is the VPU's counting floor.
+
+    images_u8: (N, C, H, W) uint8; lut: (C, 256) f32 → (N, C, H, W) f32.
+    """
+    v = images_u8.astype(jnp.int32)
+    out = jnp.zeros(images_u8.shape, jnp.float32)
+    # Fold over bins; XLA fuses the chain into one pass over the pixels.
+    lut_c = lut.reshape(1, lut.shape[0], 1, 1, 256)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    out = jnp.sum(
+        jnp.where(v[..., None] == bins, lut_c, 0.0),
+        axis=-1,
+    )
+    return out
+
+
 @partial(jax.jit, static_argnames=("channel_axis", "use_pallas"))
 def hm_transform(
     images: jnp.ndarray,
@@ -124,7 +147,7 @@ def hm_transform(
     source_counts = _histogram(flat, use_pallas)
     lut = hm_build_lut(source_counts, ref_histograms.astype(jnp.float32), float(n * h * w))
 
-    matched = lut[jnp.arange(c)[None, :, None, None], images_u8.astype(jnp.int32)]
+    matched = _apply_lut(images_u8, lut)
 
     if needs_scale_back:
         matched = jnp.clip(matched / 255.0, 0.0, 1.0)

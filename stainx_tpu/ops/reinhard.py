@@ -57,17 +57,23 @@ def _reinhard_apply(lab, lab_mean, lab_std, reference_mean, reference_std):
     return jnp.clip(color.lab_to_rgb(lab_norm, channel_axis=1), 0.0, 1.0)
 
 
-@jax.jit
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("use_pallas",))
 def reinhard_transform(
     images: jnp.ndarray,
     reference_mean: jnp.ndarray,
     reference_std: jnp.ndarray,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Transform a batch to the fitted reference statistics.
 
     Source statistics are **batch-global** (mean/std over N, H, W at once),
     exactly like the reference (``torch_backend.py:344-349``). Output dtype
-    matches input (uint8 → [0,255] uint8; float → [0,1] float).
+    matches input (uint8 → [0,255] uint8; float → [0,1] float). On the
+    pallas backend the apply runs as one fused VMEM-pass kernel
+    (:mod:`stainx_tpu.kernels.reinhard_fused`).
     """
     original_dtype = images.dtype
     was_uint8 = original_dtype == jnp.uint8
@@ -76,6 +82,17 @@ def reinhard_transform(
     lab = color.rgb_to_lab(images_float, channel_axis=1)
     lab_mean = jnp.mean(lab, axis=(0, 2, 3), keepdims=True)
     lab_std = jnp.std(lab, axis=(0, 2, 3), ddof=1, keepdims=True)
+
+    if use_pallas:
+        from stainx_tpu.kernels.reinhard_fused import reinhard_apply_pallas
+
+        return reinhard_apply_pallas(
+            images,
+            lab_mean.reshape(3),
+            lab_std.reshape(3),
+            reference_mean.reshape(3),
+            reference_std.reshape(3),
+        )
 
     rgb = _reinhard_apply(
         lab,

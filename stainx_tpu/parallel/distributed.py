@@ -215,7 +215,7 @@ def hm_transform_sharded(images, ref_histograms, axis_name, channel_axis: int = 
     total = jax.lax.psum(jnp.float32(n * h * w), axis_name)
     lut = hm_ops.hm_build_lut(counts, jnp.asarray(ref_histograms, jnp.float32), total)
 
-    matched = lut[jnp.arange(c)[None, :, None, None], images_u8.astype(jnp.int32)]
+    matched = hm_ops._apply_lut(images_u8, lut)
     if needs_scale_back:
         matched = jnp.clip(matched / 255.0, 0.0, 1.0)
     else:

@@ -108,3 +108,64 @@ def oracle_tile(size, seed=42, he_scale=1.0):
     from oracles import numpy_reference as oracle
 
     return oracle.synthetic_he_tile(size, size, seed=seed, he_scale=he_scale)
+
+
+class TestReinhardFusedKernel:
+    @pytest.mark.parametrize("dtype", ["uint8", "float32"])
+    def test_matches_jnp_twin(self, dtype):
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.reinhard_fused import reinhard_apply_pallas
+        from stainx_tpu.ops import reinhard as rh
+
+        rng = np.random.default_rng(0)
+        if dtype == "uint8":
+            src = rng.integers(0, 256, (2, 3, 24, 24), np.uint8)
+        else:
+            src = rng.random((2, 3, 24, 24), dtype=np.float32)
+        ref_img = rng.integers(0, 256, (1, 3, 24, 24), np.uint8)
+        mean, std = rh.reinhard_fit(jnp.asarray(ref_img))
+        out_x = np.asarray(rh.reinhard_transform(jnp.asarray(src), mean, std, use_pallas=False))
+        out_p = np.asarray(rh.reinhard_transform(jnp.asarray(src), mean, std, use_pallas=True))
+        np.testing.assert_allclose(
+            out_x.astype(np.float32), out_p.astype(np.float32), atol=1.0 if dtype == "uint8" else 1 / 255
+        )
+
+
+class TestMomentsKernel:
+    @pytest.mark.parametrize("dtype", ["uint8", "float32"])
+    def test_matches_jnp_twin(self, dtype):
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.moments import od_moments_pallas
+        from stainx_tpu.ops import color, macenko as mk
+
+        rng = np.random.default_rng(1)
+        if dtype == "uint8":
+            imgs = rng.integers(0, 256, (2, 3, 24, 24), np.uint8)
+        else:
+            imgs = rng.random((2, 3, 24, 24), dtype=np.float32)
+        cnt, s1, s2, total = od_moments_pallas(jnp.asarray(imgs), interpret=True)
+
+        imf = color.normalize_to_float(jnp.asarray(imgs))
+        od = mk.optical_density(imf).reshape(2, 3, -1)
+        od_c = (od[:, 0], od[:, 1], od[:, 2])
+        od_min = jnp.minimum(jnp.minimum(od_c[0], od_c[1]), od_c[2])
+        w = (od_min >= mk.BETA).astype(jnp.float32)
+        cnt_r, s1_r, s2_r = mk.masked_od_moments(od_c, w)
+        np.testing.assert_allclose(np.asarray(cnt), np.asarray(cnt_r), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s1_r), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s2_r), rtol=1e-4, atol=1e-3)
+        np.testing.assert_array_equal(np.asarray(total), np.full(2, 24 * 24, np.float32))
+
+    def test_cov_from_kernel_moments(self):
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.moments import od_moments_pallas
+        from stainx_tpu.ops import macenko as mk
+
+        imgs = oracle_tile(32)
+        cnt, s1, s2, _ = od_moments_pallas(jnp.asarray(imgs), interpret=True)
+        cov = np.asarray(mk.cov_from_moments(cnt, s1, s2))
+        assert cov.shape == (1, 3, 3)
+        np.testing.assert_allclose(cov[0], cov[0].T, atol=1e-6)
