@@ -1,0 +1,84 @@
+"""Native tilepipe IO pipeline: correctness vs direct numpy reads."""
+
+import numpy as np
+import pytest
+
+from stainx_tpu.io import RawTileLoader, TilePipe, tilepipe_available
+
+
+@pytest.fixture
+def tile_dir(tmp_path):
+    rng = np.random.default_rng(0)
+    shape = (3, 16, 16)
+    tiles = []
+    for i in range(11):
+        tile = rng.integers(0, 256, shape, dtype=np.uint8)
+        path = tmp_path / f"tile_{i:03d}.raw"
+        tile.tofile(path)
+        tiles.append((str(path), tile))
+    return shape, tiles
+
+
+def test_native_library_builds():
+    assert tilepipe_available(), "g++ toolchain present but tilepipe failed to build"
+
+
+def test_loader_matches_direct_reads(tile_dir):
+    shape, tiles = tile_dir
+    loader = RawTileLoader([p for p, _ in tiles], tile_shape=shape, batch_size=4)
+    assert len(loader) == 3
+    seen = 0
+    for batch in loader:
+        for row in batch:
+            np.testing.assert_array_equal(row, tiles[seen][1])
+            seen += 1
+    assert seen == 11  # remainder batch included
+
+
+def test_loader_drop_remainder(tile_dir):
+    shape, tiles = tile_dir
+    loader = RawTileLoader(
+        [p for p, _ in tiles], tile_shape=shape, batch_size=4, drop_remainder=True
+    )
+    assert len(loader) == 2
+    assert sum(b.shape[0] for b in loader) == 8
+
+
+@pytest.mark.skipif(not tilepipe_available(), reason="native tilepipe unavailable")
+def test_tilepipe_low_level(tile_dir):
+    shape, tiles = tile_dir
+    tile_bytes = int(np.prod(shape))
+    pipe = TilePipe(slot_bytes=4 * tile_bytes, n_slots=2, n_threads=2)
+    try:
+        paths = [p for p, _ in tiles[:4]]
+        pipe.enqueue(0, paths, [i * tile_bytes for i in range(4)], [tile_bytes] * 4)
+        pipe.wait(0)
+        view = pipe.buffer(0).reshape(4, *shape)
+        for i in range(4):
+            np.testing.assert_array_equal(view[i], tiles[i][1])
+    finally:
+        pipe.close()
+
+
+@pytest.mark.skipif(not tilepipe_available(), reason="native tilepipe unavailable")
+def test_missing_file_raises(tile_dir, tmp_path):
+    shape, tiles = tile_dir
+    tile_bytes = int(np.prod(shape))
+    pipe = TilePipe(slot_bytes=2 * tile_bytes, n_slots=1, n_threads=1)
+    try:
+        pipe.enqueue(0, [str(tmp_path / "missing.raw")], [0], [tile_bytes])
+        with pytest.raises(OSError, match="read"):
+            pipe.wait(0)
+    finally:
+        pipe.close()
+
+
+def test_feeds_normalizer(tile_dir):
+    from stainx_tpu import Reinhard
+
+    shape, tiles = tile_dir
+    loader = RawTileLoader([p for p, _ in tiles], tile_shape=shape, batch_size=4)
+    norm = Reinhard(device="cpu").fit(tiles[0][1][None])
+    for batch in loader:
+        out = norm.transform(batch)
+        assert out.shape == batch.shape

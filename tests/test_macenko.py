@@ -241,3 +241,29 @@ class TestSampledSelection:
         rank = np.array([int(p * 0.99)], np.int32)
         got = np.asarray(pct.kth_smallest(jnp.asarray(x), jnp.asarray(rank)))
         assert got[0] == np.sort(x[0])[rank[0]]
+
+
+@pytest.mark.slow
+class TestLargeTiles:
+    """Reference sizes go to 2048² (test_correctness_against_references.py:99).
+    1024² sits at the Pallas row budget; 2048² exercises the jnp fallback."""
+
+    def test_1024(self):
+        ref_img = oracle.synthetic_he_tile(1024, 1024, seed=42)
+        src = oracle.synthetic_he_tile(1024, 1024, seed=123, he_scale=1.15)
+        norm = Macenko(device="cpu")
+        result = np.asarray(norm.fit(ref_img).transform(src)).astype(np.float32)
+        he_o, mc_o = oracle.macenko_fit(ref_img)
+        expected = oracle.macenko_transform(src, he_o, mc_o).astype(np.float32)
+        assert np.abs(result - expected).mean() <= MACENKO_MAE
+
+    def test_2048_selection_fallback(self):
+        """4.2M pixels/row exceeds the Pallas VMEM row budget — the jnp
+        sampled selection must carry the full pipeline."""
+        ref_img = oracle.synthetic_he_tile(2048, 2048, seed=42)
+        src = oracle.synthetic_he_tile(2048, 2048, seed=123, he_scale=1.15)
+        norm = Macenko(device="cpu")
+        result = np.asarray(norm.fit(ref_img).transform(src)).astype(np.float32)
+        he_o, mc_o = oracle.macenko_fit(ref_img)
+        expected = oracle.macenko_transform(src, he_o, mc_o).astype(np.float32)
+        assert np.abs(result - expected).mean() <= MACENKO_MAE
