@@ -1,16 +1,19 @@
 """Pallas TPU kernel: fused Macenko OD + β-mask + masked moment reduction.
 
-One pass from raw uint8/float pixels to the 11 additive per-image scalars
-(masked count / Σx / Σxxᵀ plus the unmasked count) — the role of the
-reference's warp-shuffle CUDA reduction (``csrc/macenko.cu:145-262``, the
-10-register accumulator layout) without its separate OD materialization.
-Accumulation happens in per-scalar (8, 128) VMEM vector partials (no
+One pass from raw uint8/float pixels to the additive per-image covariance
+statistics — the role of the reference's warp-shuffle CUDA reduction
+(``csrc/macenko.cu:145-262``) without its separate OD materialization. Like
+the reference kernel it accumulates BOTH the β-masked and the all-pixel
+moment sets (``csrc/macenko.cu:160-190``: ``lm``/``la``), so the <3-pixel
+fallback needs no second pass.
+
+Numerics: moments accumulate about a fixed center (OD ≈ 1.0 for H&E),
+which removes the E[xxᵀ]−μμᵀ cancellation that forced the reference to
+fp64 — the covariance formula is center-invariant, so
+:func:`stainx_tpu.ops.macenko.cov_from_moments` applies unchanged.
+Accumulation uses per-scalar (tile, 128) VMEM vector partials (no
 cross-lane reduces in the hot loop); the collapse to scalars runs once per
 image at the final tile.
-
-Feeds :func:`stainx_tpu.ops.macenko.cov_from_moments` — covariance from
-moments is the formulation that also distributes losslessly under
-cross-chip ``psum`` (SURVEY §2.3/§5).
 """
 
 from __future__ import annotations
@@ -26,9 +29,10 @@ from stainx_tpu.kernels import interpret_mode
 
 _LANE = 128
 _SUB = 8
-_N_ACC = 11  # [masked: cnt, s0, s1, s2, xx, xy, xz, yy, yz, zz] + total cnt
+_N_ACC = 20  # masked [cnt, s0..s2, xx, xy, xz, yy, yz, zz] + same unmasked
 _IO = 240.0
 _BETA = 0.15
+CENTER = 1.0  # fixed OD centering for f32-stable second moments
 
 
 def _moments_kernel(x_ref, out_ref, acc, *, is_uint8: bool):
@@ -41,7 +45,6 @@ def _moments_kernel(x_ref, out_ref, acc, *, is_uint8: bool):
         acc[...] = jnp.zeros_like(acc)
 
     if is_uint8:
-        # Mosaic has no direct u8→f32 cast; hop through int32.
         planes = [x_ref[0, c].astype(jnp.int32).astype(jnp.float32) for c in range(3)]
         od = [-jnp.log((p + 1.0) / _IO) for p in planes]
     else:
@@ -50,18 +53,19 @@ def _moments_kernel(x_ref, out_ref, acc, *, is_uint8: bool):
 
     od_min = jnp.minimum(jnp.minimum(od[0], od[1]), od[2])
     w = (od_min >= _BETA).astype(jnp.float32)
+    y = [o - CENTER for o in od]
 
+    prods = [
+        y[0], y[1], y[2],
+        y[0] * y[0], y[0] * y[1], y[0] * y[2],
+        y[1] * y[1], y[1] * y[2], y[2] * y[2],
+    ]
     acc[0] += w
-    acc[1] += w * od[0]
-    acc[2] += w * od[1]
-    acc[3] += w * od[2]
-    acc[4] += w * od[0] * od[0]
-    acc[5] += w * od[0] * od[1]
-    acc[6] += w * od[0] * od[2]
-    acc[7] += w * od[1] * od[1]
-    acc[8] += w * od[1] * od[2]
-    acc[9] += w * od[2] * od[2]
+    for j, p in enumerate(prods):
+        acc[1 + j] += w * p
     acc[10] += jnp.ones_like(w)
+    for j, p in enumerate(prods):
+        acc[11 + j] += p
 
     @pl.when(t == num_t - 1)
     def _flush():
@@ -69,12 +73,28 @@ def _moments_kernel(x_ref, out_ref, acc, *, is_uint8: bool):
             out_ref[i, j] = jnp.sum(acc[j])
 
 
+def _unpack(block):
+    cnt = block[:, 0]
+    s1 = block[:, 1:4]
+    s2 = jnp.stack(
+        [
+            jnp.stack([block[:, 4], block[:, 5], block[:, 6]], axis=-1),
+            jnp.stack([block[:, 5], block[:, 7], block[:, 8]], axis=-1),
+            jnp.stack([block[:, 6], block[:, 8], block[:, 9]], axis=-1),
+        ],
+        axis=-2,
+    )
+    return cnt, s1, s2
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def od_moments_pallas(images: jnp.ndarray, interpret: bool | None = None):
-    """(N, 3, H, W) uint8/float → per-image masked OD moments.
+    """(N, 3, H, W) uint8/float → per-image masked AND all-pixel OD moments.
 
-    Returns ``(cnt, s1, s2, total)``: (N,), (N, 3), (N, 3, 3), (N,) —
-    the additive statistics behind the Macenko covariance.
+    Returns ``(cnt_m, s1_m, s2_m, cnt_a, s1_a, s2_a)`` — counts (N,),
+    centered sums (N, 3) and centered outer-product sums (N, 3, 3), for the
+    β-masked pixel set and for all pixels (the fallback set). Padding
+    pixels (white) are excluded from both via count/sum correction.
     """
     if interpret is None:
         interpret = interpret_mode()
@@ -83,14 +103,12 @@ def od_moments_pallas(images: jnp.ndarray, interpret: bool | None = None):
     pad = (-p) % (_SUB * _LANE)
     flat = images.reshape(n, c, p)
     if pad:
-        # Pad with white pixels (od ≈ min → below β) so they never enter the
-        # masked sums; the unmasked total is corrected below.
         pad_value = 255 if images.dtype == jnp.uint8 else 1.0
         flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)), constant_values=pad_value)
     s = flat.shape[2] // _LANE
     x4 = flat.reshape(n, c, s, _LANE)
 
-    tile_s = min(s, 512)
+    tile_s = min(s, 256)
     while s % tile_s:
         tile_s -= 1
 
@@ -106,15 +124,16 @@ def od_moments_pallas(images: jnp.ndarray, interpret: bool | None = None):
         interpret=interpret,
     )(x4)
 
-    cnt = out[:, 0]
-    s1 = out[:, 1:4]
-    s2 = jnp.stack(
-        [
-            jnp.stack([out[:, 4], out[:, 5], out[:, 6]], axis=-1),
-            jnp.stack([out[:, 5], out[:, 7], out[:, 8]], axis=-1),
-            jnp.stack([out[:, 6], out[:, 8], out[:, 9]], axis=-1),
-        ],
-        axis=-2,
-    )
-    total = out[:, 10] - float(pad)
-    return cnt, s1, s2, total
+    cnt_m, s1_m, s2_m = _unpack(out[:, :10])
+    cnt_a, s1_a, s2_a = _unpack(out[:, 10:])
+
+    if pad:
+        # White padding: od = -log(256/240) per channel (uint8 path) or
+        # -log((255+1)/240) ≈ same for float path value 1.0; below β so the
+        # masked set is clean, but the all-pixel sums must be corrected.
+        od_pad = -jnp.log(256.0 / _IO) - CENTER
+        pad_f = float(pad)
+        cnt_a = cnt_a - pad_f
+        s1_a = s1_a - pad_f * od_pad
+        s2_a = s2_a - pad_f * od_pad * od_pad
+    return cnt_m, s1_m, s2_m, cnt_a, s1_a, s2_a

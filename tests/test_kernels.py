@@ -145,7 +145,7 @@ class TestMomentsKernel:
             imgs = rng.integers(0, 256, (2, 3, 24, 24), np.uint8)
         else:
             imgs = rng.random((2, 3, 24, 24), dtype=np.float32)
-        cnt, s1, s2, total = od_moments_pallas(jnp.asarray(imgs), interpret=True)
+        cnt, s1, s2, cnt_a, s1_a, s2_a = od_moments_pallas(jnp.asarray(imgs), interpret=True)
 
         imf = color.normalize_to_float(jnp.asarray(imgs))
         od = mk.optical_density(imf).reshape(2, 3, -1)
@@ -156,7 +156,11 @@ class TestMomentsKernel:
         np.testing.assert_allclose(np.asarray(cnt), np.asarray(cnt_r), rtol=1e-6)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s1_r), rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s2_r), rtol=1e-4, atol=1e-3)
-        np.testing.assert_array_equal(np.asarray(total), np.full(2, 24 * 24, np.float32))
+        # all-pixel set: weights = 1
+        cnt_ar, s1_ar, s2_ar = mk.masked_od_moments(od_c, jnp.ones_like(w))
+        np.testing.assert_allclose(np.asarray(cnt_a), np.asarray(cnt_ar), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(s1_a), np.asarray(s1_ar), rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(s2_a), np.asarray(s2_ar), rtol=1e-4, atol=1e-3)
 
     def test_cov_from_kernel_moments(self):
         import jax.numpy as jnp
@@ -165,7 +169,41 @@ class TestMomentsKernel:
         from stainx_tpu.ops import macenko as mk
 
         imgs = oracle_tile(32)
-        cnt, s1, s2, _ = od_moments_pallas(jnp.asarray(imgs), interpret=True)
+        cnt, s1, s2, _, _, _ = od_moments_pallas(jnp.asarray(imgs), interpret=True)
         cov = np.asarray(mk.cov_from_moments(cnt, s1, s2))
         assert cov.shape == (1, 3, 3)
         np.testing.assert_allclose(cov[0], cov[0].T, atol=1e-6)
+
+
+class TestFusedMacenko:
+    @pytest.mark.parametrize("dtype", ["uint8", "float32"])
+    def test_fused_matches_standard(self, dtype):
+        import jax.numpy as jnp
+
+        from stainx_tpu.ops import macenko as mk
+
+        ref_img = oracle_tile(64)
+        src = oracle_tile(64, seed=9, he_scale=1.2)
+        if dtype == "float32":
+            src = (src.astype(np.float32) / 255.0)
+        he, tmc = mk.macenko_fit(jnp.asarray(ref_img))
+        out_std = np.asarray(
+            mk.macenko_transform(jnp.asarray(src), he, tmc, use_pallas=False)
+        ).astype(np.float32)
+        out_fused = np.asarray(
+            mk._macenko_transform_fused(jnp.asarray(src), he, tmc)
+        ).astype(np.float32)
+        scale = 255.0 if dtype == "float32" else 1.0
+        assert np.abs(out_std * scale - out_fused * scale).mean() <= 0.35
+        assert (np.abs(out_std * scale - out_fused * scale) > 2.0).mean() < 0.005
+
+    def test_white_image_fallback(self):
+        import jax.numpy as jnp
+
+        from stainx_tpu.ops import macenko as mk
+
+        ref_img = oracle_tile(64)
+        he, tmc = mk.macenko_fit(jnp.asarray(ref_img))
+        white = np.full((1, 3, 32, 32), 255, np.uint8)
+        out = np.asarray(mk._macenko_transform_fused(jnp.asarray(white), he, tmc))
+        assert np.isfinite(out.astype(np.float32)).all()
