@@ -78,10 +78,16 @@ def main() -> None:
             {"mode": name, "img_per_s": round(BATCH / secs, 1), "mae": round(mae(out, expected), 4)}
         )
 
+    pallas = jax.default_backend() == "tpu"
     if args.method == "macenko":
-        params = mk_ops.macenko_fit(jax.device_put(ref))
-        device_mode("tpu_stable", lambda x: mk_ops.macenko_transform(x, *params))
-        device_mode("tpu_fast", lambda x: mk_ops.macenko_transform(x, *params, precision="fast"))
+        params = mk_ops.macenko_fit(jax.device_put(ref), use_pallas=pallas)
+        device_mode(
+            "tpu_stable", lambda x: mk_ops.macenko_transform(x, *params, use_pallas=pallas)
+        )
+        device_mode(
+            "tpu_fast",
+            lambda x: mk_ops.macenko_transform(x, *params, precision="fast", use_pallas=pallas),
+        )
     elif args.method == "reinhard":
         params = rh_ops.reinhard_fit(jax.device_put(ref))
         device_mode("tpu", lambda x: rh_ops.reinhard_transform(x, *params))

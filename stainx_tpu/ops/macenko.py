@@ -298,6 +298,9 @@ def macenko_transform(
         from stainx_tpu.kernels.macenko_fused import fused_row_budget_ok
 
         if fused_row_budget_ok(images.shape, images.dtype):
+            # Serves BOTH precision modes: the fused path is exact and
+            # faster than the jnp fast path, so "fast" has nothing to trade
+            # away here (precision still selects dtype policy on fallbacks).
             return _macenko_transform_fused(images, stain_matrix, target_max_conc)
 
     original_dtype = images.dtype
