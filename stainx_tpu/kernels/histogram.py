@@ -33,16 +33,11 @@ _SUB = 32  # uint8 native sublane tile
 _LANE = 128
 _TILES_PER_CHUNK = 128  # 128 × (32, 128) = 512 K values resident per step
 _CHUNK = _TILES_PER_CHUNK * _SUB * _LANE
-_FLUSH = 127  # int8 partial-count capacity per lane slot
 
 
-def _hist_kernel(x_ref, out_ref, acc):
+def _hist_kernel(x_ref, out_ref):
     ci = pl.program_id(0)
     t = pl.program_id(1)
-
-    @pl.when(t == 0)
-    def _init():
-        acc[...] = jnp.zeros_like(acc)
 
     def count_bin(j, _):
         # int16 partials over the chunk for bin j (Mosaic supports only
@@ -94,7 +89,6 @@ def histogram_256_pallas(values_u8: jnp.ndarray, interpret: bool | None = None) 
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
         out_shape=jax.ShapeDtypeStruct((c, 256), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((8, _LANE), jnp.int32)],  # reserved
         interpret=interpret,
     )(x)
 

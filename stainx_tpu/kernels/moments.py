@@ -1,11 +1,13 @@
-"""Pallas TPU kernel: fused Macenko OD + β-mask + masked moment reduction.
+"""Pallas TPU kernel: fused Macenko OD + β-mask + moment reduction.
 
 One pass from raw uint8/float pixels to the additive per-image covariance
 statistics — the role of the reference's warp-shuffle CUDA reduction
-(``csrc/macenko.cu:145-262``) without its separate OD materialization. Like
-the reference kernel it accumulates BOTH the β-masked and the all-pixel
-moment sets (``csrc/macenko.cu:160-190``: ``lm``/``la``), so the <3-pixel
-fallback needs no second pass.
+(``csrc/macenko.cu:145-262``) without its separate OD materialization. The
+reference kernel accumulates the β-masked and all-pixel moment sets
+side-by-side (``csrc/macenko.cu:160-190``); here the all-pixel set (needed
+only for the rare <3-valid-pixels fallback) runs as a second kernel
+instance under ``lax.cond``, so the common case pays for 10 accumulators,
+not 20.
 
 Numerics: moments accumulate about a fixed center (OD ≈ 1.0 for H&E),
 which removes the E[xxᵀ]−μμᵀ cancellation that forced the reference to
@@ -29,13 +31,13 @@ from stainx_tpu.kernels import interpret_mode
 
 _LANE = 128
 _SUB = 8
-_N_ACC = 20  # masked [cnt, s0..s2, xx, xy, xz, yy, yz, zz] + same unmasked
+_N_ACC = 10  # [cnt, s0, s1, s2, xx, xy, xz, yy, yz, zz]
 _IO = 240.0
 _BETA = 0.15
 CENTER = 1.0  # fixed OD centering for f32-stable second moments
 
 
-def _moments_kernel(x_ref, out_ref, acc, *, is_uint8: bool):
+def _moments_kernel(x_ref, out_ref, acc, *, is_uint8: bool, masked: bool):
     i = pl.program_id(0)
     t = pl.program_id(1)
     num_t = pl.num_programs(1)
@@ -51,8 +53,11 @@ def _moments_kernel(x_ref, out_ref, acc, *, is_uint8: bool):
         planes = [x_ref[0, c].astype(jnp.float32) for c in range(3)]
         od = [-jnp.log((p * 255.0 + 1.0) / _IO) for p in planes]
 
-    od_min = jnp.minimum(jnp.minimum(od[0], od[1]), od[2])
-    w = (od_min >= _BETA).astype(jnp.float32)
+    if masked:
+        od_min = jnp.minimum(jnp.minimum(od[0], od[1]), od[2])
+        w = (od_min >= _BETA).astype(jnp.float32)
+    else:
+        w = jnp.ones_like(od[0])
     y = [o - CENTER for o in od]
 
     prods = [
@@ -61,11 +66,12 @@ def _moments_kernel(x_ref, out_ref, acc, *, is_uint8: bool):
         y[1] * y[1], y[1] * y[2], y[2] * y[2],
     ]
     acc[0] += w
-    for j, p in enumerate(prods):
-        acc[1 + j] += w * p
-    acc[10] += jnp.ones_like(w)
-    for j, p in enumerate(prods):
-        acc[11 + j] += p
+    if masked:
+        for j, p in enumerate(prods):
+            acc[1 + j] += w * p
+    else:
+        for j, p in enumerate(prods):
+            acc[1 + j] += p
 
     @pl.when(t == num_t - 1)
     def _flush():
@@ -87,14 +93,13 @@ def _unpack(block):
     return cnt, s1, s2
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def od_moments_pallas(images: jnp.ndarray, interpret: bool | None = None):
-    """(N, 3, H, W) uint8/float → per-image masked AND all-pixel OD moments.
-
-    Returns ``(cnt_m, s1_m, s2_m, cnt_a, s1_a, s2_a)`` — counts (N,),
-    centered sums (N, 3) and centered outer-product sums (N, 3, 3), for the
-    β-masked pixel set and for all pixels (the fallback set). Padding
-    pixels (white) are excluded from both via count/sum correction.
+@functools.partial(jax.jit, static_argnames=("masked", "interpret"))
+def od_moments_pallas(images: jnp.ndarray, masked: bool = True, interpret: bool | None = None):
+    """(N, 3, H, W) uint8/float → per-image OD moments ``(cnt, s1, s2)``:
+    counts (N,), centered sums (N, 3), centered outer-product sums
+    (N, 3, 3) — over the β-masked pixels (``masked=True``) or all pixels.
+    Padding pixels (white) never enter the masked set; the all-pixel sums
+    are pad-corrected exactly.
     """
     if interpret is None:
         interpret = interpret_mode()
@@ -113,7 +118,7 @@ def od_moments_pallas(images: jnp.ndarray, interpret: bool | None = None):
         tile_s -= 1
 
     out = pl.pallas_call(
-        functools.partial(_moments_kernel, is_uint8=images.dtype == jnp.uint8),
+        functools.partial(_moments_kernel, is_uint8=images.dtype == jnp.uint8, masked=masked),
         grid=(n, s // tile_s),
         in_specs=[
             pl.BlockSpec((1, c, tile_s, _LANE), lambda i, t: (i, 0, t, 0), memory_space=pltpu.VMEM)
@@ -124,16 +129,12 @@ def od_moments_pallas(images: jnp.ndarray, interpret: bool | None = None):
         interpret=interpret,
     )(x4)
 
-    cnt_m, s1_m, s2_m = _unpack(out[:, :10])
-    cnt_a, s1_a, s2_a = _unpack(out[:, 10:])
-
-    if pad:
-        # White padding: od = -log(256/240) per channel (uint8 path) or
-        # -log((255+1)/240) ≈ same for float path value 1.0; below β so the
-        # masked set is clean, but the all-pixel sums must be corrected.
+    cnt, s1, s2 = _unpack(out)
+    if pad and not masked:
+        # White padding: od = -log(256/240) per channel; correct the sums.
         od_pad = -jnp.log(256.0 / _IO) - CENTER
         pad_f = float(pad)
-        cnt_a = cnt_a - pad_f
-        s1_a = s1_a - pad_f * od_pad
-        s2_a = s2_a - pad_f * od_pad * od_pad
-    return cnt_m, s1_m, s2_m, cnt_a, s1_a, s2_a
+        cnt = cnt - pad_f
+        s1 = s1 - pad_f * od_pad
+        s2 = s2 - pad_f * od_pad * od_pad
+    return cnt, s1, s2

@@ -221,9 +221,18 @@ def _macenko_transform_fused(images, stain_matrix, target_max_conc):
     n, c, h, w = images.shape
     p = h * w
 
-    cnt_m, s1_m, s2_m, cnt_a, s1_a, s2_a = od_moments_pallas(images)
+    cnt_m, s1_m, s2_m = od_moments_pallas(images)
     use_all = cnt_m < 3.0
-    cnt_eff = jnp.where(use_all, cnt_a, cnt_m)
+    # All-pixel fallback moments only when some row starved the β-filter
+    # (the reference's <3-pixel rule, macenko.cu:105-110) — rare, so the
+    # second kernel instance runs under a cond.
+    s1_a, s2_a = jax.lax.cond(
+        jnp.any(use_all),
+        lambda im: od_moments_pallas(im, masked=False)[1:],
+        lambda im: (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n, 3, 3), jnp.float32)),
+        images,
+    )
+    cnt_eff = jnp.where(use_all, float(p), cnt_m)
     s1 = jnp.where(use_all[:, None], s1_a, s1_m)
     s2 = jnp.where(use_all[:, None, None], s2_a, s2_m)
     cov = cov_from_moments(cnt_eff, s1, s2)

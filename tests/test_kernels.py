@@ -145,7 +145,8 @@ class TestMomentsKernel:
             imgs = rng.integers(0, 256, (2, 3, 24, 24), np.uint8)
         else:
             imgs = rng.random((2, 3, 24, 24), dtype=np.float32)
-        cnt, s1, s2, cnt_a, s1_a, s2_a = od_moments_pallas(jnp.asarray(imgs), interpret=True)
+        cnt, s1, s2 = od_moments_pallas(jnp.asarray(imgs), interpret=True)
+        cnt_a, s1_a, s2_a = od_moments_pallas(jnp.asarray(imgs), masked=False, interpret=True)
 
         imf = color.normalize_to_float(jnp.asarray(imgs))
         od = mk.optical_density(imf).reshape(2, 3, -1)
@@ -169,7 +170,7 @@ class TestMomentsKernel:
         from stainx_tpu.ops import macenko as mk
 
         imgs = oracle_tile(32)
-        cnt, s1, s2, _, _, _ = od_moments_pallas(jnp.asarray(imgs), interpret=True)
+        cnt, s1, s2 = od_moments_pallas(jnp.asarray(imgs), interpret=True)
         cov = np.asarray(mk.cov_from_moments(cnt, s1, s2))
         assert cov.shape == (1, 3, 3)
         np.testing.assert_allclose(cov[0], cov[0].T, atol=1e-6)
