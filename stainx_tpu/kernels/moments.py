@@ -32,6 +32,15 @@ from stainx_tpu.kernels import interpret_mode
 _LANE = 128
 _SUB = 8
 _N_ACC = 10  # [cnt, s0, s1, s2, xx, xy, xz, yy, yz, zz]
+
+
+def _pick_tile(s: int, max_tile: int) -> int:
+    """Largest sublane-aligned (×8) divisor of ``s`` up to ``max_tile``;
+    falls back to the full dimension (block == array dim is always legal)."""
+    for t in range(min(s, max_tile), 7, -1):
+        if s % t == 0 and t % 8 == 0:
+            return t
+    return s
 _IO = 240.0
 _BETA = 0.15
 CENTER = 1.0  # fixed OD centering for f32-stable second moments
@@ -113,9 +122,7 @@ def od_moments_pallas(images: jnp.ndarray, masked: bool = True, interpret: bool 
     s = flat.shape[2] // _LANE
     x4 = flat.reshape(n, c, s, _LANE)
 
-    tile_s = min(s, 256)
-    while s % tile_s:
-        tile_s -= 1
+    tile_s = _pick_tile(s, 256)
 
     out = pl.pallas_call(
         functools.partial(_moments_kernel, is_uint8=images.dtype == jnp.uint8, masked=masked),

@@ -91,9 +91,9 @@ def reinhard_apply_pallas(
     )  # (4, 3)
 
     # Tile the pixel dimension; each grid step sees all 3 channels.
-    tile_s = min(s, 512)
-    while s % tile_s:
-        tile_s -= 1
+    from stainx_tpu.kernels.moments import _pick_tile
+
+    tile_s = _pick_tile(s, 512)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -208,3 +208,18 @@ class TestFusedMacenko:
         white = np.full((1, 3, 32, 32), 255, np.uint8)
         out = np.asarray(mk._macenko_transform_fused(jnp.asarray(white), he, tmc))
         assert np.isfinite(out.astype(np.float32)).all()
+
+
+def test_fused_kernels_nonpow2_sizes():
+    """224² (the standard pathology tile) produces s=392 rows — tile picks
+    must stay sublane-aligned (regression: 196 is a divisor but not ×8)."""
+    import jax.numpy as jnp
+
+    from stainx_tpu.ops import macenko as mk
+
+    ref_img = oracle_tile(224)
+    src = oracle_tile(224, seed=9, he_scale=1.2)
+    he, tmc = mk.macenko_fit(jnp.asarray(ref_img))
+    out = np.asarray(mk._macenko_transform_fused(jnp.asarray(src), he, tmc))
+    exp = np.asarray(mk.macenko_transform(jnp.asarray(src), he, tmc, use_pallas=False))
+    assert np.abs(out.astype(np.float32) - exp.astype(np.float32)).mean() <= 0.35

@@ -267,3 +267,23 @@ class TestLargeTiles:
         he_o, mc_o = oracle.macenko_fit(ref_img)
         expected = oracle.macenko_transform(src, he_o, mc_o).astype(np.float32)
         assert np.abs(result - expected).mean() <= MACENKO_MAE
+
+
+class TestMultiImageFit:
+    def test_fit_pools_all_images(self):
+        """Fit pools pixels of every image in the batch
+        (torch_backend.py:474-477); must match the oracle on N>1."""
+        batch = np.concatenate(
+            [oracle.synthetic_he_tile(64, 64, seed=s, he_scale=1.0 + 0.1 * s) for s in range(3)]
+        )
+        he, mc = macenko_ops.macenko_fit(batch)
+        he_o, mc_o = oracle.macenko_fit(batch)
+        np.testing.assert_allclose(np.asarray(he), he_o, atol=5e-3, rtol=0)
+        np.testing.assert_allclose(np.asarray(mc), mc_o, rtol=2e-2)
+
+    def test_fit_nonsquare(self):
+        img = oracle.synthetic_he_tile(321, 199, seed=11)
+        he, mc = macenko_ops.macenko_fit(img)
+        he_o, mc_o = oracle.macenko_fit(img)
+        np.testing.assert_allclose(np.asarray(he), he_o, atol=5e-3, rtol=0)
+        np.testing.assert_allclose(np.asarray(mc), mc_o, rtol=2e-2)
