@@ -91,6 +91,90 @@ def _radix_select_value(key, x_fields, r0):
     return picked
 
 
+def _cos_third_acos(r):
+    """cos(acos(r)/3) without trig (Mosaic has no acos/atan2): the root of
+    the triple-angle identity 4c³ − 3c = r on [0.5, 1] — monotone there, so
+    12 bisections + 3 clamped Newton steps reach f32 precision. The
+    conditioning at r → ±1 matches acos's own (double eigenvalue)."""
+
+    def bis(_, state):
+        lo, hi = state
+        mid = 0.5 * (lo + hi)
+        g = 4.0 * mid * mid * mid - 3.0 * mid - r
+        return jnp.where(g < 0, mid, lo), jnp.where(g < 0, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, 12, bis, (jnp.float32(0.5), jnp.float32(1.0)))
+    c = 0.5 * (lo + hi)
+
+    def newt(_, c):
+        g = 4.0 * c * c * c - 3.0 * c - r
+        gp = jnp.maximum(12.0 * c * c - 3.0, 1e-6)
+        return jnp.clip(c - g / gp, 0.5, 1.0)
+
+    return jax.lax.fori_loop(0, 3, newt, c)
+
+
+def _eigh3_top2_scalars(a00, a01, a02, a11, a12, a22):
+    """Scalar-only analytic 3×3 symmetric eigendecomposition (the math of
+    :mod:`stainx_tpu.ops.eigh3`, re-expressed without arrays — Mosaic's
+    layout inference rejects rank-1 vectors, so in-kernel linear algebra
+    stays scalar). Returns the middle/largest eigenvectors as 6 scalars
+    (v00, v10, v20, v01, v11, v21): columns of the (3, 2) stain plane."""
+    tiny = 1e-30
+    p1 = a01 * a01 + a02 * a02 + a12 * a12
+    q = (a00 + a11 + a22) / 3.0
+    p2 = (a00 - q) ** 2 + (a11 - q) ** 2 + (a22 - q) ** 2 + 2.0 * p1
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, tiny))
+    inv_p = 1.0 / p
+    b00, b11, b22 = (a00 - q) * inv_p, (a11 - q) * inv_p, (a22 - q) * inv_p
+    b01, b02, b12 = a01 * inv_p, a02 * inv_p, a12 * inv_p
+    det_b = (
+        b00 * (b11 * b22 - b12 * b12)
+        - b01 * (b01 * b22 - b12 * b02)
+        + b02 * (b01 * b12 - b11 * b02)
+    )
+    r = jnp.clip(det_b / 2.0, -1.0, 1.0)
+    # cos(acos(r)/3) and cos(acos(r)/3 + 2π/3) via the triple-angle root.
+    cc = _cos_third_acos(r)
+    ss = jnp.sqrt(jnp.maximum(1.0 - cc * cc, 0.0))  # sin(acos(r)/3) ≥ 0
+    e_max_t = q + 2.0 * p * cc
+    e_min_t = q + 2.0 * p * (-0.5 * cc - 0.8660254 * ss)
+    e_mid_t = 3.0 * q - e_max_t - e_min_t
+
+    # (Effectively) diagonal: eigenvalues are the sorted diagonal entries.
+    d_max = jnp.maximum(jnp.maximum(a00, a11), a22)
+    d_min = jnp.minimum(jnp.minimum(a00, a11), a22)
+    d_mid = a00 + a11 + a22 - d_max - d_min
+    diag = p1 <= tiny
+    e_mid = jnp.where(diag, d_mid, e_mid_t)
+    e_max = jnp.where(diag, d_max, e_max_t)
+
+    def nullspace(lam):
+        m00, m11, m22 = a00 - lam, a11 - lam, a22 - lam
+        # Cross products of the rows of (A − λI):
+        # r0=(m00,a01,a02), r1=(a01,m11,a12), r2=(a02,a12,m22)
+        c01 = (a01 * a12 - a02 * m11, a02 * a01 - m00 * a12, m00 * m11 - a01 * a01)
+        c02 = (a01 * m22 - a02 * a12, a02 * a02 - m00 * m22, m00 * a12 - a01 * a02)
+        c12 = (m11 * m22 - a12 * a12, a12 * a02 - a01 * m22, a01 * a12 - m11 * a02)
+        n01 = c01[0] ** 2 + c01[1] ** 2 + c01[2] ** 2
+        n02 = c02[0] ** 2 + c02[1] ** 2 + c02[2] ** 2
+        n12 = c12[0] ** 2 + c12[1] ** 2 + c12[2] ** 2
+        bx = jnp.where(n02 > n01, c02[0], c01[0])
+        by = jnp.where(n02 > n01, c02[1], c01[1])
+        bz = jnp.where(n02 > n01, c02[2], c01[2])
+        bn = jnp.maximum(n01, n02)
+        bx = jnp.where(n12 > bn, c12[0], bx)
+        by = jnp.where(n12 > bn, c12[1], by)
+        bz = jnp.where(n12 > bn, c12[2], bz)
+        norm = jnp.sqrt(bx * bx + by * by + bz * bz)
+        inv = jnp.where(norm > 1e-30, 1.0 / jnp.maximum(norm, 1e-38), 0.0)
+        return bx * inv, by * inv, bz * inv
+
+    v00, v10, v20 = nullspace(e_mid)
+    v01, v11, v21 = nullspace(e_max)
+    return v00, v10, v20, v01, v11, v21
+
+
 def _od_planes(x_ref, is_uint8: bool):
     if is_uint8:
         planes = [x_ref[0, c].astype(jnp.int32).astype(jnp.float32) for c in range(3)]
@@ -152,6 +236,160 @@ def _c_select_kernel(ranks_ref, params_ref, x_ref, out_ref, *, is_uint8: bool, p
         key = _monotone_key(jnp.where(in_image, ck, jnp.inf))
         (val,) = _radix_select_value(key, (ck,), ranks_ref[i, k])
         out_ref[i, k] = val
+
+
+def _nearest_rank_scalar(q: int, n):
+    """Scalar integer nearest-rank index round(0.01·q·(n−1)), half-to-even."""
+    t = q * (n - 1)
+    quo = t // 100
+    rem = t % 100
+    up = ((rem > 50) | ((rem == 50) & (quo % 2 == 1))).astype(jnp.int32)
+    return jnp.maximum(quo + up, 0)
+
+
+def _mega_kernel(params_ref, x_ref, out_ref, *, is_uint8: bool, p_true: int, idx99: int):
+    """The ENTIRE per-image Macenko transform in one grid step: the row is
+    loaded once, every statistic/selection/reconstruction happens in VMEM,
+    and the only HBM write is the output row."""
+    i = pl.program_id(0)
+    od = _od_planes(x_ref, is_uint8)
+    s, lane = od[0].shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (s, lane), 0) * lane + jax.lax.broadcasted_iota(
+        jnp.int32, (s, lane), 1
+    )
+    in_image = idx < p_true
+
+    od_min = jnp.minimum(jnp.minimum(od[0], od[1]), od[2])
+    bmask = (od_min >= _BETA) & in_image
+    y = [o - 1.0 for o in od]  # centered (cov is center-invariant)
+
+    def moments(weight):
+        w = weight.astype(jnp.float32)
+        cnt = jnp.sum(w)
+        s0, s1_, s2_ = jnp.sum(w * y[0]), jnp.sum(w * y[1]), jnp.sum(w * y[2])
+        xx = jnp.sum(w * y[0] * y[0])
+        xy = jnp.sum(w * y[0] * y[1])
+        xz = jnp.sum(w * y[0] * y[2])
+        yy = jnp.sum(w * y[1] * y[1])
+        yz = jnp.sum(w * y[1] * y[2])
+        zz = jnp.sum(w * y[2] * y[2])
+        return cnt, s0, s1_, s2_, xx, xy, xz, yy, yz, zz
+
+    m = moments(bmask)
+    use_all = m[0] < 3.0
+    m = jax.lax.cond(use_all, lambda: moments(in_image), lambda: m)
+    cnt, s0, s1_, s2_, xx, xy, xz, yy, yz, zz = m
+
+    safe = jnp.maximum(cnt, 1.0)
+    mu0, mu1, mu2 = s0 / safe, s1_ / safe, s2_ / safe
+    den = jnp.maximum(cnt - 1.0, 1.0)
+    ok = cnt > 1.0
+    zero = jnp.float32(0.0)
+    a00 = jnp.where(ok, (xx - cnt * mu0 * mu0) / den, zero)
+    a01 = jnp.where(ok, (xy - cnt * mu0 * mu1) / den, zero)
+    a02 = jnp.where(ok, (xz - cnt * mu0 * mu2) / den, zero)
+    a11 = jnp.where(ok, (yy - cnt * mu1 * mu1) / den, zero)
+    a12 = jnp.where(ok, (yz - cnt * mu1 * mu2) / den, zero)
+    a22 = jnp.where(ok, (zz - cnt * mu2 * mu2) / den, zero)
+
+    v00, v10, v20, v01, v11, v21 = _eigh3_top2_scalars(a00, a01, a02, a11, a12, a22)
+
+    t0 = od[0] * v00 + od[1] * v10 + od[2] * v20
+    t1 = od[0] * v01 + od[1] * v11 + od[2] * v21
+    pseudo = _pseudo_angle(t0, t1)
+    eff_mask = (bmask | use_all) & in_image
+    key = _monotone_key(jnp.where(eff_mask, pseudo, jnp.inf))
+
+    cnt_i = jnp.round(cnt).astype(jnp.int32)
+    r_lo = _nearest_rank_scalar(1, cnt_i)
+    r_hi = _nearest_rank_scalar(99, cnt_i)
+
+    def extreme(rank):
+        c_sel, s_sel = _radix_select_value(key, (t0, t1), rank)
+        norm = jnp.sqrt(c_sel * c_sel + s_sel * s_sel)
+        inv = jnp.where(norm > 1e-30, 1.0 / norm, 0.0)
+        return c_sel * inv, s_sel * inv
+
+    cos_lo, sin_lo = extreme(r_lo)
+    cos_hi, sin_hi = extreme(r_hi)
+
+    vmin = [v00 * cos_lo + v01 * sin_lo, v10 * cos_lo + v11 * sin_lo, v20 * cos_lo + v21 * sin_lo]
+    vmax = [v00 * cos_hi + v01 * sin_hi, v10 * cos_hi + v11 * sin_hi, v20 * cos_hi + v21 * sin_hi]
+    swap = vmin[0] > vmax[0]
+    h0 = [jnp.where(swap, vmin[c], vmax[c]) for c in range(3)]
+    h1 = [jnp.where(swap, vmax[c], vmin[c]) for c in range(3)]
+
+    a = h0[0] * h0[0] + h0[1] * h0[1] + h0[2] * h0[2]
+    b = h0[0] * h1[0] + h0[1] * h1[1] + h0[2] * h1[2]
+    c_ = h1[0] * h1[0] + h1[1] * h1[1] + h1[2] * h1[2]
+    inv_det = 1.0 / (a * c_ - b * b)
+    m0 = [(c_ * h0[d] - b * h1[d]) * inv_det for d in range(3)]
+    m1 = [(a * h1[d] - b * h0[d]) * inv_det for d in range(3)]
+
+    c0 = od[0] * m0[0] + od[1] * m0[1] + od[2] * m0[2]
+    c1 = od[0] * m1[0] + od[1] * m1[1] + od[2] * m1[2]
+    rank99 = jnp.int32(idx99)
+    (maxc0,) = _radix_select_value(_monotone_key(jnp.where(in_image, c0, jnp.inf)), (c0,), rank99)
+    (maxc1,) = _radix_select_value(_monotone_key(jnp.where(in_image, c1, jnp.inf)), (c1,), rank99)
+
+    tmc0, tmc1 = params_ref[0, 0], params_ref[0, 1]
+    stain = [[params_ref[0, 2 + 2 * c + k] for k in range(2)] for c in range(3)]
+    scale0 = tmc0 / maxc0
+    scale1 = tmc1 / maxc1
+
+    cn0 = c0 * scale0
+    cn1 = c1 * scale1
+    for c in range(3):
+        rec = jnp.clip(_IO * jnp.exp(-(stain[c][0] * cn0 + stain[c][1] * cn1)), 0.0, 255.0)
+        if is_uint8:
+            out_ref[0, c] = rec.astype(jnp.int32).astype(jnp.uint8)
+        else:
+            out_ref[0, c] = rec
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def macenko_transform_mega(images, stain_matrix, target_max_conc, interpret: bool | None = None):
+    """One-kernel Macenko transform: (N, 3, H, W) uint8/float [0,1] →
+    normalized batch (same dtype, [0,255] range). HBM traffic = one read of
+    the input + one write of the output."""
+    if interpret is None:
+        interpret = interpret_mode()
+    x4, p_true, s = _row_layout(images)
+    n = x4.shape[0]
+    p = p_true
+
+    from stainx_tpu.ops.percentile import static_nearest_rank_index
+
+    idx99 = static_nearest_rank_index(99, p)
+    params = jnp.concatenate(
+        [target_max_conc.reshape(2).astype(jnp.float32), stain_matrix.reshape(6).astype(jnp.float32)]
+    ).reshape(1, 8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, 3, s, _LANE), lambda i, params: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 3, s, _LANE), lambda i, params: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    kernel = functools.partial(
+        _mega_kernel, is_uint8=images.dtype == jnp.uint8, p_true=p_true, idx99=idx99
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(x4.shape, images.dtype),
+        interpret=interpret,
+    )(params, x4)
+
+    n_, c, h, w = images.shape
+    out = out.reshape(n_, c, s * _LANE)
+    if s * _LANE != h * w:
+        out = out[:, :, : h * w]
+    return out.reshape(n_, c, h, w)
 
 
 def _row_layout(images: jnp.ndarray):

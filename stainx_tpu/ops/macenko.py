@@ -209,10 +209,21 @@ def _stain_separate(
 
 
 def _macenko_transform_fused(images, stain_matrix, target_max_conc):
-    """Fully-fused Pallas hot path: per-image scalars come straight off raw
-    pixel rows (moments → stain plane → φ percentiles → concentration
-    percentiles), and the only HBM-materialized field is the output. See
-    :mod:`stainx_tpu.kernels.macenko_fused`."""
+    """Fully-fused Pallas hot path. Default: the single mega-kernel — the
+    ENTIRE per-image transform (moments, analytic eigh, φ/concentration
+    radix selection, reconstruction) in one VMEM residency; HBM traffic is
+    one read of the input and one write of the output
+    (:func:`stainx_tpu.kernels.macenko_fused.macenko_transform_mega`).
+    The staged three-kernel pipeline below remains as the structural
+    reference and debugging twin."""
+    from stainx_tpu.kernels.macenko_fused import macenko_transform_mega
+
+    return macenko_transform_mega(images, stain_matrix, target_max_conc)
+
+
+def _macenko_transform_staged(images, stain_matrix, target_max_conc):
+    """Staged fused pipeline (moments kernel → jnp eigh → φ-select kernel →
+    jnp H/E solve → C-select kernel → fused jnp reconstruction)."""
     from stainx_tpu.kernels.macenko_fused import c_select_pallas, phi_select_pallas
     from stainx_tpu.kernels.moments import od_moments_pallas
 

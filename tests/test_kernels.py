@@ -194,6 +194,11 @@ class TestFusedMacenko:
         out_fused = np.asarray(
             mk._macenko_transform_fused(jnp.asarray(src), he, tmc)
         ).astype(np.float32)
+        out_staged = np.asarray(
+            mk._macenko_transform_staged(jnp.asarray(src), he, tmc)
+        ).astype(np.float32)
+        scale0 = 255.0 if dtype == "float32" else 1.0
+        assert np.abs(out_staged * scale0 - out_fused * scale0).mean() <= 0.35
         scale = 255.0 if dtype == "float32" else 1.0
         assert np.abs(out_std * scale - out_fused * scale).mean() <= 0.35
         assert (np.abs(out_std * scale - out_fused * scale) > 2.0).mean() < 0.005
