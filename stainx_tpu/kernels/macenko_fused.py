@@ -404,10 +404,15 @@ def _row_layout(images: jnp.ndarray):
     return flat.reshape(n, c, s, _LANE), p, s
 
 
+MAX_FUSED_PIXELS = 262144  # 512²: the mega kernel's VMEM working set is
+# ~10 MB here (od planes + projection/key/concentration temporaries);
+# larger rows exceed VMEM and fall to the staged radix-selection path.
+
+
 def fused_row_budget_ok(images_shape, dtype) -> bool:
     _, c, h, w = images_shape
     itemsize = 1 if dtype == jnp.uint8 else 4
-    return c * h * w * itemsize <= MAX_ROW_BYTES
+    return h * w <= MAX_FUSED_PIXELS and c * h * w * itemsize <= MAX_ROW_BYTES
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -228,3 +228,18 @@ def test_fused_kernels_nonpow2_sizes():
     out = np.asarray(mk._macenko_transform_fused(jnp.asarray(src), he, tmc))
     exp = np.asarray(mk.macenko_transform(jnp.asarray(src), he, tmc, use_pallas=False))
     assert np.abs(out.astype(np.float32) - exp.astype(np.float32)).mean() <= 0.35
+
+
+def test_fused_budget_ladder():
+    """Size ladder: mega kernel ≤ 512² (VMEM working set), radix-selection
+    path ≤ 1M px, jnp beyond (verified live on TPU at 1024²/2048²)."""
+    import jax.numpy as jnp
+
+    from stainx_tpu.kernels.macenko_fused import MAX_FUSED_PIXELS, fused_row_budget_ok
+    from stainx_tpu.kernels.selection import MAX_ROW_ELEMS
+
+    assert fused_row_budget_ok((1, 3, 512, 512), jnp.uint8)
+    assert fused_row_budget_ok((1, 3, 512, 512), jnp.float32)
+    assert not fused_row_budget_ok((1, 3, 1024, 1024), jnp.uint8)
+    assert MAX_FUSED_PIXELS == 512 * 512
+    assert 1024 * 1024 <= MAX_ROW_ELEMS  # 1024² still uses the radix kernel
