@@ -79,7 +79,13 @@ struct Pipe {
                 }
             }
             if (!ok) slot.errors.fetch_add(1);
-            if (slot.pending.fetch_sub(1) == 1) cv_done.notify_all();
+            // The pending decrement must happen under the waiter's mutex:
+            // a bare atomic fetch_sub + notify can fire between tp_wait's
+            // predicate check and its block, losing the wakeup forever.
+            {
+                std::lock_guard<std::mutex> lock(mu);
+                if (slot.pending.fetch_sub(1) == 1) cv_done.notify_all();
+            }
         }
     }
 };

@@ -31,64 +31,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from stainx_tpu.kernels import interpret_mode
-from stainx_tpu.kernels.selection import _monotone_key
+from stainx_tpu.kernels.selection import _monotone_key, radix_select_value
 
 _B = 16
 _LANE = 128
 _IO = 240.0
 _BETA = 0.15
 MAX_ROW_BYTES = 6 * 1024 * 1024  # input row VMEM budget
-
-
-def _radix_select_value(key, x_fields, r0):
-    """In-kernel radix descent on ``key`` (uint32, any shape); returns the
-    rank-``r0`` element's value for every array in ``x_fields`` (each the
-    same shape as key), resolved per-field via the member mask."""
-
-    def cond(state):
-        _, _, it, done = state
-        return jnp.logical_not(done) & (it < 8)
-
-    def body(state):
-        prefix, r, it, _ = state
-        shift = (28 - 4 * it).astype(jnp.uint32)
-        group = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape))
-        base = jax.lax.shift_left(prefix, jnp.uint32(4))
-        counts = [jnp.sum((group == (base | jnp.uint32(j))).astype(jnp.int32)) for j in range(_B)]
-        cums = []
-        cum = jnp.int32(0)
-        for j in range(_B):
-            cum = cum + counts[j]
-            cums.append(cum)
-        bsel = jnp.int32(0)
-        for j in range(_B):
-            bsel = bsel + (cums[j] <= r).astype(jnp.int32)
-        bsel = jnp.minimum(bsel, _B - 1)
-        below = jnp.int32(0)
-        sel_count = counts[0]
-        for j in range(1, _B):
-            below = jnp.where(bsel == j, cums[j - 1], below)
-            sel_count = jnp.where(bsel == j, counts[j], sel_count)
-        new_prefix = base | bsel.astype(jnp.uint32)
-        return new_prefix, r - below, it + 1, sel_count <= 1
-
-    prefix, _, it, _ = jax.lax.while_loop(
-        cond, body, (jnp.uint32(0), r0, jnp.int32(0), jnp.asarray(False))
-    )
-    shift = (32 - 4 * it).astype(jnp.uint32)
-    member = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape)) == prefix
-    # The members of the final prefix share their key's value bits down to
-    # the consumed depth; for the value fields take the member minimizing
-    # the key (= the selected rank element, up to key-identical duplicates).
-    # Mosaic has no unsigned reductions: flip the sign bit for an
-    # order-preserving int32 view and reduce that.
-    ikey = jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000), jnp.int32)
-    kmin = jnp.min(jnp.where(member, ikey, jnp.int32(0x7FFFFFFF)))
-    chosen = member & (ikey == kmin)
-    picked = []
-    for f in x_fields:
-        picked.append(jnp.max(jnp.where(chosen, f, -jnp.inf)))
-    return picked
 
 
 def _cos_third_acos(r):
@@ -212,7 +161,7 @@ def _phi_select_kernel(ranks_ref, params_ref, x_ref, out_ref, *, is_uint8: bool,
 
     key = _monotone_key(jnp.where(mask, pseudo, jnp.inf))
     for k in range(2):
-        c_sel, s_sel = _radix_select_value(key, (t0, t1), ranks_ref[i, k])
+        c_sel, s_sel = radix_select_value(key, (t0, t1), ranks_ref[i, k])
         norm = jnp.sqrt(c_sel * c_sel + s_sel * s_sel)
         inv = jnp.where(norm > 1e-30, 1.0 / norm, 0.0)
         out_ref[i, 2 * k] = c_sel * inv  # cos(φ*)
@@ -234,15 +183,17 @@ def _c_select_kernel(ranks_ref, params_ref, x_ref, out_ref, *, is_uint8: bool, p
     for k in range(2):
         ck = od[0] * m[k][0] + od[1] * m[k][1] + od[2] * m[k][2]
         key = _monotone_key(jnp.where(in_image, ck, jnp.inf))
-        (val,) = _radix_select_value(key, (ck,), ranks_ref[i, k])
+        (val,) = radix_select_value(key, (ck,), ranks_ref[i, k])
         out_ref[i, k] = val
 
 
 def _nearest_rank_scalar(q: int, n):
-    """Scalar integer nearest-rank index round(0.01·q·(n−1)), half-to-even."""
-    t = q * (n - 1)
-    quo = t // 100
-    rem = t % 100
+    """Scalar integer nearest-rank index round(0.01·q·(n−1)), half-to-even.
+    Overflow-free decomposition (q·(n−1) wraps int32 above ~21.7M)."""
+    m = n - 1
+    t_lo = q * (m % 100)
+    quo = q * (m // 100) + t_lo // 100
+    rem = t_lo % 100
     up = ((rem > 50) | ((rem == 50) & (quo % 2 == 1))).astype(jnp.int32)
     return jnp.maximum(quo + up, 0)
 
@@ -305,7 +256,7 @@ def _mega_kernel(params_ref, x_ref, out_ref, *, is_uint8: bool, p_true: int, idx
     r_hi = _nearest_rank_scalar(99, cnt_i)
 
     def extreme(rank):
-        c_sel, s_sel = _radix_select_value(key, (t0, t1), rank)
+        c_sel, s_sel = radix_select_value(key, (t0, t1), rank)
         norm = jnp.sqrt(c_sel * c_sel + s_sel * s_sel)
         inv = jnp.where(norm > 1e-30, 1.0 / norm, 0.0)
         return c_sel * inv, s_sel * inv
@@ -329,8 +280,8 @@ def _mega_kernel(params_ref, x_ref, out_ref, *, is_uint8: bool, p_true: int, idx
     c0 = od[0] * m0[0] + od[1] * m0[1] + od[2] * m0[2]
     c1 = od[0] * m1[0] + od[1] * m1[1] + od[2] * m1[2]
     rank99 = jnp.int32(idx99)
-    (maxc0,) = _radix_select_value(_monotone_key(jnp.where(in_image, c0, jnp.inf)), (c0,), rank99)
-    (maxc1,) = _radix_select_value(_monotone_key(jnp.where(in_image, c1, jnp.inf)), (c1,), rank99)
+    (maxc0,) = radix_select_value(_monotone_key(jnp.where(in_image, c0, jnp.inf)), (c0,), rank99)
+    (maxc1,) = radix_select_value(_monotone_key(jnp.where(in_image, c1, jnp.inf)), (c1,), rank99)
 
     tmc0, tmc1 = params_ref[0, 0], params_ref[0, 1]
     stain = [[params_ref[0, 2 + 2 * c + k] for k in range(2)] for c in range(3)]

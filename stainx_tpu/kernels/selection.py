@@ -56,56 +56,66 @@ def _unkey(key):
     return jax.lax.bitcast_convert_type(key ^ flip, jnp.float32)
 
 
+def radix_select_value(key, x_fields, r0):
+    """In-kernel radix descent on ``key`` (uint32, monotone in the values);
+    returns the rank-``r0`` element's value for every array in ``x_fields``
+    (each key-shaped), resolved via the final member mask. Shared by every
+    selection kernel — the bit-twiddling here is subtle (logical shifts
+    with matching unsigned dtypes; mixed uint32>>int32 silently promotes to
+    a signed arithmetic shift) and must exist exactly once."""
+
+    def cond(state):
+        _, _, it, done = state
+        return jnp.logical_not(done) & (it < 8)
+
+    def body(state):
+        prefix, r, it, _ = state
+        shift = (28 - 4 * it).astype(jnp.uint32)  # in {28, 24, ..., 0}
+        group = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape))
+        base = jax.lax.shift_left(prefix, jnp.uint32(4))
+        counts = [
+            jnp.sum((group == (base | jnp.uint32(j))).astype(jnp.int32)) for j in range(_B)
+        ]
+        cums = []
+        cum = jnp.int32(0)
+        for j in range(_B):
+            cum = cum + counts[j]
+            cums.append(cum)
+        # Bucket containing rank r: first j with cums[j] > r (scalar walk).
+        bsel = jnp.int32(0)
+        for j in range(_B):
+            bsel = bsel + (cums[j] <= r).astype(jnp.int32)
+        bsel = jnp.minimum(bsel, _B - 1)
+        below = jnp.int32(0)
+        sel_count = counts[0]
+        for j in range(1, _B):
+            below = jnp.where(bsel == j, cums[j - 1], below)
+            sel_count = jnp.where(bsel == j, counts[j], sel_count)
+        new_prefix = base | bsel.astype(jnp.uint32)
+        return new_prefix, r - below, it + 1, sel_count <= 1
+
+    prefix, _, it, _ = jax.lax.while_loop(
+        cond, body, (jnp.uint32(0), r0, jnp.int32(0), jnp.asarray(False))
+    )
+    # Members share the consumed prefix (it >= 1 always => shift <= 28).
+    shift = (32 - 4 * it).astype(jnp.uint32)
+    member = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape)) == prefix
+    # Pick the member minimizing the key (= the rank element, up to
+    # key-identical duplicates). Mosaic has no unsigned reductions: flip the
+    # sign bit for an order-preserving int32 view.
+    ikey = jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000), jnp.int32)
+    kmin = jnp.min(jnp.where(member, ikey, jnp.int32(0x7FFFFFFF)))
+    chosen = member & (ikey == kmin)
+    return [jnp.max(jnp.where(chosen, f, -jnp.inf)) for f in x_fields]
+
+
 def _select_kernel(ranks_ref, x_ref, out_ref, *, k_ranks: int):
     i = pl.program_id(0)
     x = x_ref[0]  # (S, 128) f32; +inf = masked/padding
     key = _monotone_key(x)
 
     for k in range(k_ranks):
-        r0 = ranks_ref[i, k]
-
-        def cond(state):
-            _, _, it, done = state
-            return jnp.logical_not(done) & (it < 8)
-
-        def body(state):
-            prefix, r, it, _ = state
-            shift = (28 - 4 * it).astype(jnp.uint32)  # ∈ {28, 24, …, 0}
-            # Logical shifts with matching unsigned dtypes — mixed
-            # uint32>>int32 promotes to signed and turns arithmetic.
-            group = jax.lax.shift_right_logical(
-                key, jnp.broadcast_to(shift, key.shape)
-            )  # (S, 128) uint32
-            base = jax.lax.shift_left(prefix, jnp.uint32(4))
-            counts = [
-                jnp.sum((group == (base | jnp.uint32(j))).astype(jnp.int32))
-                for j in range(_B)
-            ]
-            cums = []
-            cum = jnp.int32(0)
-            for j in range(_B):
-                cum = cum + counts[j]
-                cums.append(cum)
-            bsel = jnp.int32(0)
-            for j in range(_B):
-                bsel = bsel + (cums[j] <= r).astype(jnp.int32)
-            bsel = jnp.minimum(bsel, _B - 1)
-            below = jnp.int32(0)
-            sel_count = counts[0]
-            for j in range(1, _B):
-                below = jnp.where(bsel == j, cums[j - 1], below)
-                sel_count = jnp.where(bsel == j, counts[j], sel_count)
-            new_prefix = base | bsel.astype(jnp.uint32)
-            return new_prefix, r - below, it + 1, sel_count <= 1
-
-        prefix, _, it, _ = jax.lax.while_loop(
-            cond, body, (jnp.uint32(0), r0, jnp.int32(0), jnp.asarray(False))
-        )
-
-        # Members share the consumed prefix (it ≥ 1 always ⇒ shift ≤ 28).
-        shift = (32 - 4 * it).astype(jnp.uint32)
-        member = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape)) == prefix
-        val = jnp.min(jnp.where(member, x, jnp.inf))
+        (val,) = radix_select_value(key, (x,), ranks_ref[i, k])
         out_ref[i, k] = val
 
 

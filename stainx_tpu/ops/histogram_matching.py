@@ -7,11 +7,12 @@ reference CDF with linear interpolation, edge pinning to bins 0/255, and a
 256-entry LUT gather. Histogram counts are additive, so the distributed
 batch-mode fit is an exact cross-chip ``psum`` (SURVEY §2.3).
 
-The histogram itself is computed with a chunked compare-and-reduce (fused by
-XLA; no scatter atomics — TPUs have none), with a Pallas tiled accumulator
-kernel as the compiled fast path (``stainx_tpu.kernels.histogram``)
-replacing the reference's shared-memory-atomic CUDA kernel
-(``csrc/histogram_matching.cu:49-95``).
+The histogram is one fused compare-and-reduce (XLA reduces the virtual
+(C, P, 256) one-hot without materializing it; no scatter atomics — TPUs
+have none). A Pallas tiled-accumulator kernel exists as an alternative
+(``stainx_tpu.kernels.histogram``, the counterpart of the reference's
+shared-memory-atomic CUDA kernel ``csrc/histogram_matching.cu:49-95``) but
+measures no faster — both sit on the VPU's Θ(bins)/element counting floor.
 """
 
 from __future__ import annotations
@@ -23,22 +24,18 @@ import jax.numpy as jnp
 
 from stainx_tpu.ops import color
 
-_HIST_CHUNK = 1 << 16  # pixels per scan step; keeps the fused eq+reduce in VMEM
-
 
 def _to_channels_first(images: jnp.ndarray, channel_axis: int) -> tuple[jnp.ndarray, bool]:
-    """NHWC → NCHW when channel_axis says channels-last (``torch_backend.py:181-186``)."""
-    if channel_axis == -1 or (channel_axis == 3 and images.ndim == 4):
-        return jnp.transpose(images, (0, 3, 1, 2)), True
-    return images, False
+    """NHWC → NCHW when channel_axis says channels-last (``torch_backend.py:181-186``);
+    shares the layout rule with :func:`stainx_tpu.ops.color._nchw`."""
+    return color._nchw(images, channel_axis)
 
 
 def histogram_256(values_u8: jnp.ndarray) -> jnp.ndarray:
     """Per-channel 256-bin counts. ``values_u8``: (C, P) uint8 → (C, 256) f32.
 
     One fused compare-and-reduce: XLA reduces the (C, P, 256) one-hot
-    virtually (never materialized). Replaced by the Pallas tiled-accumulator
-    kernel on the ``pallas`` backend.
+    virtually (never materialized).
     """
     c, p = values_u8.shape
     bins = jnp.arange(256, dtype=jnp.int32)
@@ -113,15 +110,10 @@ def _apply_lut(images_u8: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
     images_u8: (N, C, H, W) uint8; lut: (C, 256) f32 → (N, C, H, W) f32.
     """
     v = images_u8.astype(jnp.int32)
-    out = jnp.zeros(images_u8.shape, jnp.float32)
-    # Fold over bins; XLA fuses the chain into one pass over the pixels.
     lut_c = lut.reshape(1, lut.shape[0], 1, 1, 256)
     bins = jnp.arange(256, dtype=jnp.int32)
-    out = jnp.sum(
-        jnp.where(v[..., None] == bins, lut_c, 0.0),
-        axis=-1,
-    )
-    return out
+    # XLA fuses the compare-select-sum into one pass over the pixels.
+    return jnp.sum(jnp.where(v[..., None] == bins, lut_c, 0.0), axis=-1)
 
 
 @partial(jax.jit, static_argnames=("channel_axis", "use_pallas"))

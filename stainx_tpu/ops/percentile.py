@@ -49,13 +49,19 @@ _SAMPLE_MIN_P = 1 << 16  # sample-localize only when the last axis is large
 def nearest_rank_index(q: int, n: jnp.ndarray) -> jnp.ndarray:
     """0-based nearest-rank index ``round(0.01·q·(n−1))`` (half-to-even),
     clamped at 0. ``q`` is a static integer percentage; ``n`` an integer
-    array of element counts. Exact — no floating point involved."""
+    array of element counts. Exact and overflow-free for every int32 count:
+    the naive ``q·(n−1)`` wraps int32 above ~21.7M elements at q=99 (pooled
+    fits and cross-chip counts exceed that), so the product is decomposed as
+    ``q·(m//100)·100 + q·(m%100)`` — both terms stay far inside int32."""
     if not float(q).is_integer():
         raise ValueError(f"q must be an integer percentage, got {q}")
     q = int(q)
-    t = q * (n.astype(jnp.int32) - 1)  # exact for n < ~2.1e7 at q=99
-    quotient = jnp.floor_divide(t, 100)
-    rem = jnp.remainder(t, 100)
+    m = n.astype(jnp.int32) - 1
+    hi = jnp.floor_divide(m, 100)  # q·hi ≤ 99·(2^31/100): no overflow
+    lo = jnp.remainder(m, 100)
+    t_lo = q * lo  # ≤ 99·99
+    quotient = q * hi + jnp.floor_divide(t_lo, 100)
+    rem = jnp.remainder(t_lo, 100)
     round_up = (rem > 50) | ((rem == 50) & (quotient % 2 == 1))
     return jnp.maximum(quotient + round_up.astype(jnp.int32), 0)
 

@@ -104,20 +104,25 @@ def macenko_fit_sharded(images, axis_name, percentile_levels: int = 3):
     t0, t1 = macenko_ops._project_plane(od_c, evecs, jnp.float32)
     phi = jnp.arctan2(t1, t0)[0]  # (P_local,)
 
-    min_phi = distributed_masked_percentile(
-        phi, mask[0], macenko_ops.ALPHA, axis_name, levels=percentile_levels
+    # Both φ percentiles in ONE multi-rank chain: each level is a single
+    # (2, 256) psum round instead of two sequential collectives.
+    phi_pair = distributed_masked_percentile(
+        jnp.stack([phi, phi]),
+        jnp.stack([mask[0], mask[0]]),
+        (macenko_ops.ALPHA, 100 - macenko_ops.ALPHA),
+        axis_name,
+        levels=percentile_levels,
     )
-    max_phi = distributed_masked_percentile(
-        phi, mask[0], 100 - macenko_ops.ALPHA, axis_name, levels=percentile_levels
-    )
+    min_phi, max_phi = phi_pair[0], phi_pair[1]
 
     he = macenko_ops._he_from_phi_extremes(evecs, min_phi[None], max_phi[None])  # (1,3,2)
     c0, c1 = macenko_ops._concentrations_2x2(he, od_c)
 
-    all_mask = jnp.ones((p_local,), bool)
-    max_c0 = distributed_masked_percentile(c0[0], all_mask, 99, axis_name, levels=percentile_levels)
-    max_c1 = distributed_masked_percentile(c1[0], all_mask, 99, axis_name, levels=percentile_levels)
-    return he[0], jnp.stack([max_c0, max_c1])
+    all_mask = jnp.ones((2, p_local), bool)
+    max_conc = distributed_masked_percentile(
+        jnp.stack([c0[0], c1[0]]), all_mask, (99, 99), axis_name, levels=percentile_levels
+    )
+    return he[0], max_conc
 
 
 # ------------------------------------------------------- mesh-level wrappers
@@ -175,10 +180,22 @@ def transform_on_mesh(method: str, images, params, mesh: Mesh, batch_axis: str =
     if method == "macenko":
         he, tmc = params
         precision = kwargs.get("precision", "stable")
+        use_pallas = kwargs.get("use_pallas", False)
 
+        # shard_map (not bare GSPMD propagation): Pallas kernels are not
+        # auto-partitionable, so each shard runs the full local transform —
+        # which needs zero communication (per-image op).
         @jax.jit
         def run(imgs):
-            return macenko_ops.macenko_transform(imgs, he, tmc, precision=precision)
+            return jax.shard_map(
+                lambda im: macenko_ops.macenko_transform(
+                    im, he, tmc, precision=precision, use_pallas=use_pallas
+                ),
+                mesh=mesh,
+                in_specs=PartitionSpec(batch_axis),
+                out_specs=PartitionSpec(batch_axis),
+                check_vma=False,  # selection while-loop carries defeat VMA inference
+            )(imgs)
 
         return run(sharded)
 

@@ -272,7 +272,13 @@ class StainNormalizerTransform:
         else:
             params = self._mesh_params(method)
 
-        result = parallel.transform_on_mesh(method, img, params, self.mesh)
+        kwargs = {}
+        if method == "macenko":
+            # Mesh execution honors the normalizer's precision/backend —
+            # numerics must not depend on whether a mesh is attached.
+            kwargs["precision"] = getattr(self.normalizer, "precision", "stable")
+            kwargs["use_pallas"] = self.normalizer.backend == "pallas"
+        result = parallel.transform_on_mesh(method, img, params, self.mesh, **kwargs)
         if getattr(self.normalizer, "normalize_to_0_1", False):
             result = result / 255.0
         return result

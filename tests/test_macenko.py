@@ -287,3 +287,15 @@ class TestMultiImageFit:
         he_o, mc_o = oracle.macenko_fit(img)
         np.testing.assert_allclose(np.asarray(he), he_o, atol=5e-3, rtol=0)
         np.testing.assert_allclose(np.asarray(mc), mc_o, rtol=2e-2)
+
+
+def test_nearest_rank_index_no_int32_overflow():
+    """q·(n−1) wraps int32 above ~21.7M at q=99 — pooled fits and
+    cross-chip counts exceed that routinely (review finding)."""
+    import jax.numpy as jnp
+
+    for n in [21_700_000, 33_554_432, 134_217_728, 2_000_000_000]:
+        got = int(pct.nearest_rank_index(99, jnp.asarray([n]))[0])
+        assert got == round(0.99 * (n - 1)), n
+        got1 = int(pct.nearest_rank_index(1, jnp.asarray([n]))[0])
+        assert got1 == round(0.01 * (n - 1)), n
