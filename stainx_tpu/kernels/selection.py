@@ -56,13 +56,49 @@ def _unkey(key):
     return jax.lax.bitcast_convert_type(key ^ flip, jnp.float32)
 
 
+_SENTINEL_KEY = 0xFF800000  # _monotone_key(+inf)
+
+
+def _ikey_view(key):
+    """Order-preserving signed view (Mosaic has no unsigned reductions)."""
+    return jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000), jnp.int32)
+
+
 def radix_select_value(key, x_fields, r0):
     """In-kernel radix descent on ``key`` (uint32, monotone in the values);
     returns the rank-``r0`` element's value for every array in ``x_fields``
     (each key-shaped), resolved via the final member mask. Shared by every
     selection kernel — the bit-twiddling here is subtle (logical shifts
     with matching unsigned dtypes; mixed uint32>>int32 silently promotes to
-    a signed arithmetic shift) and must exist exactly once."""
+    a signed arithmetic shift) and must exist exactly once.
+
+    The descent starts below the valid keys' common prefix: real data spans
+    a narrow float range, so the leading 1–3 nibbles are constant and
+    counting them would be wasted levels. The leading differing-bit position
+    comes from the f32 exponent of the min⊕max key (exact — only the top
+    set bit matters), avoiding any clz dependency."""
+    valid0 = key != jnp.uint32(_SENTINEL_KEY)
+    ik = _ikey_view(key)
+    ik_min = jnp.min(jnp.where(valid0, ik, jnp.int32(0x7FFFFFFF)))
+    ik_max = jnp.max(jnp.where(valid0, ik, jnp.int32(-0x80000000)))
+    # XOR is invariant under the sign-bit flip, so the key diff comes
+    # straight from the signed views (Mosaic has no SCALAR bitcasts either).
+    diff_i = ik_min ^ ik_max
+    # Number of constant leading nibbles: diff below 2^(32−4k) for each k.
+    # Seven scalar compares — no clz, no float-exponent trick, no casts.
+    nonneg = diff_i >= 0  # top nibble differs when negative
+    skip = jnp.int32(0)
+    for k in range(1, 8):
+        skip = skip + (nonneg & (diff_i < (1 << (32 - 4 * k)))).astype(jnp.int32)
+    it0 = jnp.where(diff_i == 0, jnp.int32(8), skip)
+    # Common prefix = kmin's top 4·it0 bits; kmin's bits are ik_min with the
+    # sign bit flipped, and a logical shift ≥ 4 keeps everything in int32.
+    s0 = 32 - 4 * jnp.maximum(it0, 1)  # int32 shift for the int32 operand
+    prefix0 = jax.lax.shift_right_logical(
+        ik_min ^ jnp.int32(-0x80000000), s0
+    ).astype(jnp.uint32)
+    # it0 == 0 ⇒ empty prefix.
+    prefix0 = jnp.where(it0 == 0, jnp.uint32(0), prefix0)
 
     def cond(state):
         _, _, it, done = state
@@ -94,18 +130,15 @@ def radix_select_value(key, x_fields, r0):
         new_prefix = base | bsel.astype(jnp.uint32)
         return new_prefix, r - below, it + 1, sel_count <= 1
 
-    prefix, _, it, _ = jax.lax.while_loop(
-        cond, body, (jnp.uint32(0), r0, jnp.int32(0), jnp.asarray(False))
-    )
-    # Members share the consumed prefix (it >= 1 always => shift <= 28).
+    prefix, _, it, _ = jax.lax.while_loop(cond, body, (prefix0, r0, it0, jnp.asarray(False)))
+    # Members share the consumed prefix (it ≥ 1 here: it0=0 ⇒ diff≠0 ⇒ the
+    # first level always runs).
     shift = (32 - 4 * it).astype(jnp.uint32)
     member = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape)) == prefix
     # Pick the member minimizing the key (= the rank element, up to
-    # key-identical duplicates). Mosaic has no unsigned reductions: flip the
-    # sign bit for an order-preserving int32 view.
-    ikey = jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000), jnp.int32)
-    kmin = jnp.min(jnp.where(member, ikey, jnp.int32(0x7FFFFFFF)))
-    chosen = member & (ikey == kmin)
+    # key-identical duplicates).
+    sel_min = jnp.min(jnp.where(member, ik, jnp.int32(0x7FFFFFFF)))
+    chosen = member & (ik == sel_min)
     return [jnp.max(jnp.where(chosen, f, -jnp.inf)) for f in x_fields]
 
 
