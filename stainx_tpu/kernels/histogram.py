@@ -10,8 +10,9 @@ on the VPU, so the kernel's job is to run exactly that and nothing else:
   plane for the current bin lives in registers — the naive bin-inner order
   drags a 4 MB accumulator through VMEM for every 16 KB tile and is ~20×
   slower;
-- compares and adds run at uint8/int8 width (≈3× the f32 lane rate on v5e);
-  int8 partials are widened every 127 tiles before they can overflow;
+- compares run at int32 width with int16 partial counts (Mosaic supports
+  only i16/i32 vector arithmetic; per-slot counts stay ≤ TILES_PER_CHUNK ≪
+  32767, so no overflow flush is needed within a chunk);
 - per-bin scalars accumulate into an SMEM output revisited across chunks.
 
 The jnp twin is :func:`stainx_tpu.ops.histogram_matching.histogram_256`;

@@ -187,18 +187,9 @@ def _c_select_kernel(ranks_ref, params_ref, x_ref, out_ref, *, is_uint8: bool, p
         out_ref[i, k] = val
 
 
-def _nearest_rank_scalar(q: int, n):
-    """Scalar integer nearest-rank index round(0.01·q·(n−1)), half-to-even.
-    Overflow-free decomposition (q·(n−1) wraps int32 above ~21.7M)."""
-    m = n - 1
-    t_lo = q * (m % 100)
-    quo = q * (m // 100) + t_lo // 100
-    rem = t_lo % 100
-    up = ((rem > 50) | ((rem == 50) & (quo % 2 == 1))).astype(jnp.int32)
-    return jnp.maximum(quo + up, 0)
-
-
-def _mega_kernel(params_ref, x_ref, out_ref, *, is_uint8: bool, p_true: int, idx99: int):
+def _mega_kernel(
+    params_ref, x_ref, out_ref, *, is_uint8: bool, p_true: int, alpha: int, idx_hi_conc: int
+):
     """The ENTIRE per-image Macenko transform in one grid step: the row is
     loaded once, every statistic/selection/reconstruction happens in VMEM,
     and the only HBM write is the output row."""
@@ -252,8 +243,10 @@ def _mega_kernel(params_ref, x_ref, out_ref, *, is_uint8: bool, p_true: int, idx
     key = _monotone_key(jnp.where(eff_mask, pseudo, jnp.inf))
 
     cnt_i = jnp.round(cnt).astype(jnp.int32)
-    r_lo = _nearest_rank_scalar(1, cnt_i)
-    r_hi = _nearest_rank_scalar(99, cnt_i)
+    from stainx_tpu.ops.percentile import nearest_rank_index
+
+    r_lo = nearest_rank_index(alpha, cnt_i)
+    r_hi = nearest_rank_index(100 - alpha, cnt_i)
 
     def extreme(rank):
         c_sel, s_sel = radix_select_value(key, (t0, t1), rank)
@@ -279,9 +272,9 @@ def _mega_kernel(params_ref, x_ref, out_ref, *, is_uint8: bool, p_true: int, idx
 
     c0 = od[0] * m0[0] + od[1] * m0[1] + od[2] * m0[2]
     c1 = od[0] * m1[0] + od[1] * m1[1] + od[2] * m1[2]
-    rank99 = jnp.int32(idx99)
-    (maxc0,) = radix_select_value(_monotone_key(jnp.where(in_image, c0, jnp.inf)), (c0,), rank99)
-    (maxc1,) = radix_select_value(_monotone_key(jnp.where(in_image, c1, jnp.inf)), (c1,), rank99)
+    rank_hi = jnp.int32(idx_hi_conc)
+    (maxc0,) = radix_select_value(_monotone_key(jnp.where(in_image, c0, jnp.inf)), (c0,), rank_hi)
+    (maxc1,) = radix_select_value(_monotone_key(jnp.where(in_image, c1, jnp.inf)), (c1,), rank_hi)
 
     tmc0, tmc1 = params_ref[0, 0], params_ref[0, 1]
     stain = [[params_ref[0, 2 + 2 * c + k] for k in range(2)] for c in range(3)]
@@ -309,9 +302,11 @@ def macenko_transform_mega(images, stain_matrix, target_max_conc, interpret: boo
     n = x4.shape[0]
     p = p_true
 
+    from stainx_tpu.ops.macenko import ALPHA
     from stainx_tpu.ops.percentile import static_nearest_rank_index
 
-    idx99 = static_nearest_rank_index(99, p)
+    # Ranks derive from the single ALPHA constant, like every other path.
+    idx_hi_conc = static_nearest_rank_index(99, p)
     params = jnp.concatenate(
         [target_max_conc.reshape(2).astype(jnp.float32), stain_matrix.reshape(6).astype(jnp.float32)]
     ).reshape(1, 8)
@@ -327,7 +322,11 @@ def macenko_transform_mega(images, stain_matrix, target_max_conc, interpret: boo
         ),
     )
     kernel = functools.partial(
-        _mega_kernel, is_uint8=images.dtype == jnp.uint8, p_true=p_true, idx99=idx99
+        _mega_kernel,
+        is_uint8=images.dtype == jnp.uint8,
+        p_true=p_true,
+        alpha=int(ALPHA),
+        idx_hi_conc=idx_hi_conc,
     )
     out = pl.pallas_call(
         kernel,

@@ -59,7 +59,9 @@ def distributed_masked_percentile(
     single = x.ndim == 1
     x2 = (x[None] if single else x).astype(jnp.float32)
     valid = mask[None] if single else mask
-    qs = (q,) if isinstance(q, int) else tuple(q)
+    # Scalars of any integral flavor (int, numpy integer, 99.0) are a single
+    # percentile; only genuine sequences are per-row percentiles.
+    qs = tuple(q) if isinstance(q, (tuple, list)) else (q,)
     k_rows = x2.shape[0]
     if len(qs) != k_rows:
         raise ValueError(f"{len(qs)} percentiles for {k_rows} rows")
