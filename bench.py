@@ -60,7 +60,12 @@ def main() -> None:
     batch = jax.device_put(_synthetic_he(BATCH, SIZE, SIZE, seed=123))
 
     use_pallas = jax.default_backend() == "tpu"  # what Macenko() auto-selects
-    he, tmc = macenko_fit(ref, use_pallas=use_pallas)
+    try:
+        he, tmc = macenko_fit(ref, use_pallas=use_pallas)
+    except Exception as e:  # never leave the driver without a JSON line
+        print(f"pallas fit failed ({type(e).__name__}); falling back to XLA", file=sys.stderr)
+        use_pallas = False
+        he, tmc = macenko_fit(ref, use_pallas=False)
 
     # Delta timing with chained dispatches: each iteration consumes the
     # previous output (uint8→uint8, same shape) so executions can't be
@@ -71,6 +76,12 @@ def main() -> None:
     # in lax.scan instead sends XLA:TPU compile time pathological.)
     step = jax.jit(lambda v: macenko_transform(v, he, tmc, use_pallas=use_pallas))
     probe = jax.jit(lambda v: v[0, 0, 0, 0].astype(jnp.float32))
+    try:
+        float(probe(step(batch)))
+    except Exception as e:
+        print(f"pallas transform failed ({type(e).__name__}); falling back to XLA", file=sys.stderr)
+        use_pallas = False
+        step = jax.jit(lambda v: macenko_transform(v, he, tmc, use_pallas=False))
 
     def run(iters: int) -> float:
         start = time.perf_counter()
