@@ -68,3 +68,31 @@ def test_to_device_moves_state(uint8_batch):
 def test_numpy_inputs_accepted(uint8_batch):
     out = Reinhard(device="cpu").fit(uint8_batch).transform(uint8_batch)
     assert np.asarray(out).shape == uint8_batch.shape
+
+
+def test_save_load_state_file(tmp_path, uint8_batch):
+    from stainx_tpu import Macenko
+
+    src = Macenko(device="cpu").fit(uint8_batch[:1])
+    path = str(tmp_path / "fitted.npz")
+    src.save_state(path)
+    dst = Macenko(device="cpu").load_state_file(path)
+    assert dst._is_fitted
+    np.testing.assert_array_equal(np.asarray(dst._stain_matrix), np.asarray(src._stain_matrix))
+    np.testing.assert_array_equal(np.asarray(dst._target_max_conc), np.asarray(src._target_max_conc))
+
+
+def test_save_state_unfitted_raises(tmp_path):
+    from stainx_tpu import Reinhard
+
+    with pytest.raises(ValueError, match="fit"):
+        Reinhard(device="cpu").save_state(str(tmp_path / "x.npz"))
+
+
+def test_profiling_time_fn(uint8_batch):
+    import jax.numpy as jnp
+
+    from stainx_tpu import profiling
+
+    secs = profiling.time_fn(lambda x: x + jnp.uint8(1), jnp.asarray(uint8_batch), iters=3)
+    assert secs > 0
