@@ -31,10 +31,11 @@ class Macenko(NormalizerTemplate):
     precision : {"stable", "fast"}
         Dtype policy, validated eagerly at construction (``macenko.py:36-44``).
         ``stable`` — f32 everywhere, two-pass centered covariance.
-        ``fast`` — bf16 pixel matmuls (projection / reconstruction on the
-        MXU), f32 statistics and solves. Unlike the reference (whose "fast"
-        needed the CUDA extension), both precisions work on every backend
-        because bf16 is native to TPU and supported by XLA on CPU.
+        ``fast`` — bf16 reconstruction + capped percentile-refinement depth;
+        statistics, projection and solves stay f32. Unlike the reference
+        (whose "fast" needed the CUDA extension), both precisions work on
+        every backend because bf16 is native to TPU and supported by XLA on
+        CPU.
     """
 
     def __init__(

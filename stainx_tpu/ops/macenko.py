@@ -25,9 +25,11 @@ TPU-first design choices (vs the CUDA structure):
 - Percentiles use multi-level histogram refinement instead of full
   O(P log P) sorts — 5× faster than TPU ``top_k``/``sort`` and free of
   their compile-time k limits (see :mod:`stainx_tpu.ops.percentile`).
-- ``precision="fast"`` evaluates the projection and reconstruction in
-  bf16 (the CUDA fast path's fp16 role, ``macenko.cu:116-191``);
-  statistics, percentile ranks and the 2×2 solve stay f32.
+- ``precision="fast"`` evaluates the reconstruction in bf16 (the CUDA
+  fast path's fp16 role, ``macenko.cu:116-191``) and caps the percentile
+  refinement depth; the stain-plane projection, statistics, percentile
+  ranks and the 2×2 solve stay f32 (bf16 projection measurably breaks the
+  reference MAE gate — see ``macenko_transform``).
 """
 
 from __future__ import annotations
@@ -343,13 +345,17 @@ def macenko_transform(
 
     # Fast mode trades the below-ulp percentile refinement for a 16^4-bin
     # one (value error < range·6e-5 — ~0.01 grey on the output, far inside
-    # the reference's own fast-mode MAE budget) and runs the projection /
-    # reconstruction in bf16 (the CUDA fast path's fp16 role).
+    # the reference's own fast-mode MAE budget) and runs the reconstruction
+    # in bf16 (the CUDA fast path's fp16-reconstruct role, macenko.cu:116-191).
+    # The stain-plane projection stays f32: bf16 there quantizes the φ
+    # angles whose percentiles pick the stain vectors — measured MAE 0.37
+    # vs the reference oracle (over the 0.35 budget) for zero bandwidth win,
+    # since the projection fuses into the selection's first pass anyway.
     fast = precision == "fast"
-    proj_dtype = jnp.bfloat16 if fast else jnp.float32
+    recon_dtype = jnp.bfloat16 if fast else jnp.float32
     levels = 4 if fast else 12  # 12 = adaptive-exact cap; 4 caps fast's depth
     he, _ = _stain_separate(
-        od_c, eff_mask, cnt_eff, proj_dtype, levels=levels, use_pallas=use_pallas
+        od_c, eff_mask, cnt_eff, jnp.float32, levels=levels, use_pallas=use_pallas
     )
     c0, c1 = _concentrations_2x2(he, od_c)  # (N, P) each
 
@@ -367,13 +373,13 @@ def macenko_transform(
     max_c0, max_c1 = max_c[:n], max_c[n:]
 
     tmc = target_max_conc.reshape(-1).astype(jnp.float32)
-    cn0 = (c0 * (tmc[0] / max_c0)[:, None]).astype(proj_dtype)
-    cn1 = (c1 * (tmc[1] / max_c1)[:, None]).astype(proj_dtype)
+    cn0 = (c0 * (tmc[0] / max_c0)[:, None]).astype(recon_dtype)
+    cn1 = (c1 * (tmc[1] / max_c1)[:, None]).astype(recon_dtype)
 
     stain = stain_matrix.astype(jnp.float32)
     recon = [
         (
-            cn0 * stain[i, 0].astype(proj_dtype) + cn1 * stain[i, 1].astype(proj_dtype)
+            cn0 * stain[i, 0].astype(recon_dtype) + cn1 * stain[i, 1].astype(recon_dtype)
         ).astype(jnp.float32)
         for i in range(3)
     ]

@@ -138,10 +138,13 @@ class TestMacenkoVsOracle:
         he_o, mc_o = oracle.macenko_fit(ref_img)
         expected = oracle.macenko_transform(src, he_o, mc_o).astype(np.float32)
 
-        mae = np.abs(result - expected).mean()
-        assert mae <= MACENKO_MAE, f"MAE {mae} > {MACENKO_MAE}"
-        mismatch = (np.abs(result - expected) > MACENKO_ATOL).mean()
-        assert mismatch < 0.005, f"{mismatch:.2%} of pixels differ by > {MACENKO_ATOL}"
+        diff = np.abs(result - expected)
+        assert diff.mean() <= MACENKO_MAE, f"MAE {diff.mean()} > {MACENKO_MAE}"
+        # All pixels within atol=2, like the reference gate
+        # (test_correctness_against_references.py:155) — measured max diff is
+        # 1 grey level (rounding ties) vs both the numpy and the mounted
+        # reference-torch oracle.
+        assert diff.max() <= MACENKO_ATOL, f"max diff {diff.max()} > {MACENKO_ATOL}"
 
     def test_transform_float_input(self):
         ref_img, src = _pair(96, 96)
