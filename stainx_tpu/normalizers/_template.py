@@ -55,6 +55,11 @@ class NormalizerTemplate(StainNormalizerBase):
                 raise ImportError(
                     "Backend 'pallas' requires jax.experimental.pallas; use backend='xla'."
                 )
+        # An explicitly requested backend is sticky across device moves
+        # (reference honors the user's backend in _sync_normalizer_device and
+        # raises when impossible, transforms.py:173-190); only auto-selected
+        # backends re-select in to_device.
+        self._requested_backend = backend
         self.backend = backend or self._select_backend()
         self._init_algorithm_attributes()
 
@@ -125,11 +130,17 @@ class NormalizerTemplate(StainNormalizerBase):
             return self.load_state({k: data[k] for k in data.files})
 
     def to_device(self, device: str | Any | None) -> "NormalizerTemplate":
-        """Move fitted parameters to another device and re-run backend selection."""
+        """Move fitted parameters to another device.
+
+        Backend selection re-runs only when the backend was auto-selected;
+        an explicit ``backend=`` request survives the move (reference
+        contract, ``transforms.py:173-190`` — both backends run on every
+        JAX platform here, so the reference's impossible-combination error
+        collapses to the eager checks in ``__init__``)."""
         from stainx_tpu.utils import get_device
 
         self.device = get_device(device)
-        self.backend = self._select_backend()
+        self.backend = self._requested_backend or self._select_backend()
         for name in self._state_attrs():
             value = getattr(self, name, None)
             if isinstance(value, jnp.ndarray):

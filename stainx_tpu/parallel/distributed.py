@@ -11,7 +11,7 @@ SURVEY §2.3; Macenko percentiles use
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache
 
 import jax
 import jax.numpy as jnp
@@ -126,12 +126,43 @@ def macenko_fit_sharded(images, axis_name, percentile_levels: int = 3):
 
 
 # ------------------------------------------------------- mesh-level wrappers
+#
+# The jitted shard_map callables are built ONCE per (method, mesh,
+# batch_axis[, precision/backend]) via lru_cache and take the fitted
+# parameters as replicated ARGUMENTS — a fresh closure per call would be a
+# new function object, i.e. a jit-cache miss and a full retrace/recompile on
+# every training step (round-1 review finding). Within one cached runner,
+# jax.jit's own cache keys on input shapes/dtypes as usual.
+#
+# These wrappers psum only over ``batch_axis`` — the axis the data is
+# actually sharded on. On a multi-axis mesh the shards are replicated over
+# the other axes; reducing over them too would scale counts/moments by the
+# replication factor (means cancel, Bessel std and nearest-rank indices
+# don't). Callers sharding more axes use the ``*_sharded`` functions
+# directly with the full axis tuple, as ``dryrun_multichip`` does.
 
 _FIT_SHARDED = {
-    "reinhard": lambda imgs, ax: reinhard_fit_sharded(imgs, ax),
-    "histogram_matching": lambda imgs, ax: hm_fit_sharded(imgs, ax),
-    "macenko": lambda imgs, ax: macenko_fit_sharded(imgs, ax),
+    "reinhard": reinhard_fit_sharded,
+    "histogram_matching": hm_fit_sharded,
+    "macenko": macenko_fit_sharded,
 }
+
+
+@lru_cache(maxsize=None)
+def _fit_runner(method: str, mesh: Mesh, batch_axis: str):
+    fit_fn = _FIT_SHARDED[method]
+
+    @jax.jit
+    def run(imgs):
+        return jax.shard_map(
+            lambda im: fit_fn(im, batch_axis),
+            mesh=mesh,
+            in_specs=PartitionSpec(batch_axis),
+            out_specs=PartitionSpec(),
+            check_vma=False,
+        )(imgs)
+
+    return run
 
 
 def fit_on_mesh(method: str, images, mesh: Mesh, batch_axis: str = "batch"):
@@ -140,21 +171,67 @@ def fit_on_mesh(method: str, images, mesh: Mesh, batch_axis: str = "batch"):
     reinhard/macenko, a (C, 256) array for histogram_matching)."""
     if method not in _FIT_SHARDED:
         raise ValueError(f"Unknown method '{method}'. Choose from {sorted(_FIT_SHARDED)}")
-    fit_fn = _FIT_SHARDED[method]
-    axes = mesh.axis_names
-
-    @jax.jit
-    def run(imgs):
-        return jax.shard_map(
-            partial(fit_fn, ax=axes),
-            mesh=mesh,
-            in_specs=PartitionSpec(batch_axis),
-            out_specs=PartitionSpec(),
-                check_vma=False,
-        )(imgs)
-
     sharded = jax.device_put(images, NamedSharding(mesh, PartitionSpec(batch_axis)))
-    return run(sharded)
+    return _fit_runner(method, mesh, batch_axis)(sharded)
+
+
+@lru_cache(maxsize=None)
+def _transform_runner(
+    method: str,
+    mesh: Mesh,
+    batch_axis: str,
+    precision: str = "stable",
+    use_pallas: bool = False,
+):
+    batch_spec = PartitionSpec(batch_axis)
+    repl = PartitionSpec()
+
+    if method == "reinhard":
+
+        @jax.jit
+        def run(imgs, mean, std):
+            return jax.shard_map(
+                lambda im, m, s: reinhard_transform_sharded(im, m, s, batch_axis),
+                mesh=mesh,
+                in_specs=(batch_spec, repl, repl),
+                out_specs=batch_spec,
+            )(imgs, mean, std)
+
+        return run
+
+    if method == "macenko":
+        # shard_map (not bare GSPMD propagation): Pallas kernels are not
+        # auto-partitionable, so each shard runs the full local transform —
+        # which needs zero communication (per-image op).
+        @jax.jit
+        def run(imgs, he, tmc):
+            return jax.shard_map(
+                lambda im, h, t: macenko_ops.macenko_transform(
+                    im, h, t, precision=precision, use_pallas=use_pallas
+                ),
+                mesh=mesh,
+                in_specs=(batch_spec, repl, repl),
+                out_specs=batch_spec,
+                check_vma=False,  # selection while-loop carries defeat VMA inference
+            )(imgs, he, tmc)
+
+        return run
+
+    if method == "histogram_matching":
+        # Batch-global source CDFs: each shard psums its source histogram
+        # over ``batch_axis`` (hm_transform_sharded) for exact batch parity.
+        @jax.jit
+        def run(imgs, hists):
+            return jax.shard_map(
+                lambda im, hs: hm_transform_sharded(im, hs, batch_axis),
+                mesh=mesh,
+                in_specs=(batch_spec, repl),
+                out_specs=batch_spec,
+            )(imgs, hists)
+
+        return run
+
+    raise ValueError(f"Unknown method '{method}'")
 
 
 def transform_on_mesh(method: str, images, params, mesh: Mesh, batch_axis: str = "batch", **kwargs):
@@ -162,59 +239,18 @@ def transform_on_mesh(method: str, images, params, mesh: Mesh, batch_axis: str =
     zero communication (per-image ops), Reinhard psums its batch-global
     source statistics."""
     sharded = jax.device_put(images, NamedSharding(mesh, PartitionSpec(batch_axis)))
-
-    if method == "reinhard":
-        mean, std = params
-
-        @jax.jit
-        def run(imgs):
-            return jax.shard_map(
-                lambda im: reinhard_transform_sharded(im, mean, std, mesh.axis_names),
-                mesh=mesh,
-                in_specs=PartitionSpec(batch_axis),
-                out_specs=PartitionSpec(batch_axis),
-            )(imgs)
-
-        return run(sharded)
-
-    if method == "macenko":
-        he, tmc = params
-        precision = kwargs.get("precision", "stable")
-        use_pallas = kwargs.get("use_pallas", False)
-
-        # shard_map (not bare GSPMD propagation): Pallas kernels are not
-        # auto-partitionable, so each shard runs the full local transform —
-        # which needs zero communication (per-image op).
-        @jax.jit
-        def run(imgs):
-            return jax.shard_map(
-                lambda im: macenko_ops.macenko_transform(
-                    im, he, tmc, precision=precision, use_pallas=use_pallas
-                ),
-                mesh=mesh,
-                in_specs=PartitionSpec(batch_axis),
-                out_specs=PartitionSpec(batch_axis),
-                check_vma=False,  # selection while-loop carries defeat VMA inference
-            )(imgs)
-
-        return run(sharded)
-
-    if method == "histogram_matching":
-        # NOTE: sharded HM matches each shard against its local histogram —
-        # exact global source CDFs would psum the source histogram; provided
-        # via hm_transform_sharded for batch-mode parity.
-        @jax.jit
-        def run(imgs):
-            return jax.shard_map(
-                lambda im: hm_transform_sharded(im, params, mesh.axis_names),
-                mesh=mesh,
-                in_specs=PartitionSpec(batch_axis),
-                out_specs=PartitionSpec(batch_axis),
-            )(imgs)
-
-        return run(sharded)
-
-    raise ValueError(f"Unknown method '{method}'")
+    run = _transform_runner(
+        method,
+        mesh,
+        batch_axis,
+        kwargs.get("precision", "stable"),
+        kwargs.get("use_pallas", False),
+    )
+    replicated = NamedSharding(mesh, PartitionSpec())
+    if method in ("reinhard", "macenko"):
+        p0, p1 = (jax.device_put(jnp.asarray(p), replicated) for p in params)
+        return run(sharded, p0, p1)
+    return run(sharded, jax.device_put(jnp.asarray(params, jnp.float32), replicated))
 
 
 def hm_transform_sharded(images, ref_histograms, axis_name, channel_axis: int = 1):

@@ -67,9 +67,10 @@ class StainNormalizerTransform:
         self.channel_axis = channel_axis
         self.batch_ref_index = batch_ref_index
         self.mesh = mesh
-        # None = follow input device each call (transforms.py:89-90).
+        # None = follow input device each call (transforms.py:89-90). An
+        # explicit backend= is honored across device syncs by the inner
+        # normalizer itself (NormalizerTemplate.to_device).
         self.device = None if device is None else get_device(device)
-        self._requested_backend = backend
         if mesh is not None and channel_axis not in _CHANNELS_FIRST:
             raise ValueError("mesh execution currently requires NCHW (channel_axis=1).")
 
@@ -161,7 +162,10 @@ class StainNormalizerTransform:
             self.normalizer.to_device(device)
 
     # ------------------------------------------------------------ forward
-    def _prepare(self, images: Any) -> jnp.ndarray:
+    def _validate_layout(self, images: Any) -> jnp.ndarray:
+        """Shared shape/layout validation for the single-device and mesh
+        paths (the mesh path must reject bad layouts identically — a C≠3
+        NCHW batch would otherwise silently use only 3 channel planes)."""
         if not isinstance(images, jnp.ndarray):
             images = jnp.asarray(np.asarray(images))
         if images.ndim == 3:
@@ -184,7 +188,10 @@ class StainNormalizerTransform:
                     f"do not accept NHWC; use channel_axis=-1 only with histogram_matching, or "
                     f"permute to NCHW first."
                 )
+        return images
 
+    def _prepare(self, images: Any) -> jnp.ndarray:
+        images = self._validate_layout(images)
         target = self._target_device(images)
         self._sync_normalizer_device(target)
         return jax.device_put(images, target)
@@ -251,10 +258,7 @@ class StainNormalizerTransform:
         the semantic to an exact whole-batch distributed fit)."""
         from stainx_tpu import parallel
 
-        if not isinstance(img, jnp.ndarray):
-            img = jnp.asarray(np.asarray(img))
-        if img.ndim == 3:
-            img = img[None]
+        img = self._validate_layout(img)
         method = self._method_name()
 
         if self.mode == "batch":

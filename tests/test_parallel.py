@@ -119,6 +119,62 @@ class TestShardedTransforms:
         )
 
 
+class TestRunnerCaching:
+    """The mesh wrappers must reuse one jitted program across calls — a
+    fresh closure per forward would retrace (and recompile) every training
+    step (round-1 review finding)."""
+
+    def test_transform_runner_reused_across_params(self, mesh, he_batch):
+        from stainx_tpu.parallel import distributed
+
+        params_a = macenko_ops.macenko_fit(jnp.asarray(he_batch[:1]))
+        params_b = macenko_ops.macenko_fit(jnp.asarray(he_batch[1:2]))
+        runner = distributed._transform_runner("macenko", mesh, "batch", "stable", False)
+        parallel.transform_on_mesh("macenko", he_batch, params_a, mesh)
+        after_first = runner._cache_size()
+        # Different fitted params, same shapes: zero new traces.
+        parallel.transform_on_mesh("macenko", he_batch, params_b, mesh)
+        parallel.transform_on_mesh("macenko", he_batch, params_a, mesh)
+        assert runner._cache_size() == after_first
+
+    def test_fit_runner_reused(self, mesh, he_batch):
+        from stainx_tpu.parallel import distributed
+
+        runner = distributed._fit_runner("reinhard", mesh, "batch")
+        parallel.fit_on_mesh("reinhard", he_batch, mesh)
+        size = runner._cache_size()
+        parallel.fit_on_mesh("reinhard", he_batch, mesh)
+        assert runner._cache_size() == size
+        # Same (method, mesh, axis) key → the very same runner object.
+        assert distributed._fit_runner("reinhard", mesh, "batch") is runner
+
+
+def test_wrappers_on_2d_mesh_match_single_device(he_batch):
+    """fit_on_mesh / transform_on_mesh shard only the batch axis; on a
+    multi-axis mesh the psums must NOT also reduce over the replicated
+    axes (counts would scale by the replication factor — review finding)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    mesh2d = parallel.make_mesh(shape=(4, 2), axis_names=("batch", "pixel"))
+
+    mean_d, std_d = parallel.fit_on_mesh("reinhard", he_batch, mesh2d)
+    mean_s, std_s = reinhard_ops.reinhard_fit(jnp.asarray(he_batch))
+    np.testing.assert_allclose(np.asarray(mean_d), np.asarray(mean_s), rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(std_d), np.asarray(std_s), rtol=1e-3, atol=1e-3)
+
+    he_d, mc_d = parallel.fit_on_mesh("macenko", he_batch, mesh2d)
+    he_s, mc_s = macenko_ops.macenko_fit(jnp.asarray(he_batch))
+    np.testing.assert_allclose(np.asarray(he_d), np.asarray(he_s), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(mc_d), np.asarray(mc_s), rtol=1e-2)
+
+    params = reinhard_ops.reinhard_fit(jnp.asarray(he_batch[:1]))
+    out = parallel.transform_on_mesh("reinhard", he_batch, params, mesh2d)
+    single = reinhard_ops.reinhard_transform(jnp.asarray(he_batch), *params)
+    np.testing.assert_allclose(
+        np.asarray(out).astype(np.float32), np.asarray(single).astype(np.float32), atol=1.0
+    )
+
+
 def test_2d_mesh_fit(he_batch):
     """Statistics fits also reduce over a 2D ('batch','pixel') mesh."""
     if len(jax.devices()) < 8:

@@ -183,3 +183,31 @@ class TestMeshExecution:
         out = np.asarray(t(he_batch))
         manual = np.asarray(Reinhard(device="cpu").fit(he_batch).transform(he_batch))
         np.testing.assert_array_equal(out, manual)
+
+    def test_mesh_path_validates_layout(self, mesh, he_ref):
+        """The mesh forward runs the same layout validation as the
+        single-device path — a C≠3 NCHW batch must raise, not silently use
+        three channel planes (review finding)."""
+        t = StainNormalizerTransform(method="macenko", reference=he_ref, mesh=mesh, device="cpu")
+        bad = np.zeros((8, 4, 32, 32), np.uint8)
+        with pytest.raises(ValueError, match="C=3"):
+            t(bad)
+        with pytest.raises(ValueError, match="image tensor"):
+            t(np.zeros((8, 4, 3, 32, 32), np.uint8))
+
+
+class TestBackendStickiness:
+    """An explicit backend= must survive device moves; auto-selected
+    backends re-select (reference transforms.py:173-190)."""
+
+    def test_explicit_backend_survives_to_device(self, he_ref):
+        norm = Reinhard(device="cpu", backend="xla").fit(he_ref)
+        norm.to_device("cpu")
+        assert norm.backend == "xla"
+        assert norm._requested_backend == "xla"
+
+    def test_auto_backend_reselects(self, he_ref):
+        norm = Reinhard(device="cpu").fit(he_ref)
+        assert norm._requested_backend is None
+        norm.to_device("cpu")  # auto path re-runs selection (cpu → xla)
+        assert norm.backend == "xla"
