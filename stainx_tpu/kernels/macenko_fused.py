@@ -31,9 +31,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from stainx_tpu.kernels import interpret_mode
-from stainx_tpu.kernels.selection import _monotone_key, radix_select_value
+from stainx_tpu.kernels.selection import _monotone_key, radix_select_multi
 
-_B = 16
 _LANE = 128
 _IO = 240.0
 _BETA = 0.15
@@ -160,8 +159,11 @@ def _phi_select_kernel(ranks_ref, params_ref, x_ref, out_ref, *, is_uint8: bool,
     mask = ((od_min >= _BETA) | use_all) & in_image
 
     key = _monotone_key(jnp.where(mask, pseudo, jnp.inf))
+    results = radix_select_multi(
+        [(key, ranks_ref[i, 0], (t0, t1)), (key, ranks_ref[i, 1], (t0, t1))]
+    )
     for k in range(2):
-        c_sel, s_sel = radix_select_value(key, (t0, t1), ranks_ref[i, k])
+        c_sel, s_sel = results[k]
         norm = jnp.sqrt(c_sel * c_sel + s_sel * s_sel)
         inv = jnp.where(norm > 1e-30, 1.0 / norm, 0.0)
         out_ref[i, 2 * k] = c_sel * inv  # cos(φ*)
@@ -180,11 +182,13 @@ def _c_select_kernel(ranks_ref, params_ref, x_ref, out_ref, *, is_uint8: bool, p
     )
     in_image = idx < p_true
 
+    sels = []
     for k in range(2):
         ck = od[0] * m[k][0] + od[1] * m[k][1] + od[2] * m[k][2]
-        key = _monotone_key(jnp.where(in_image, ck, jnp.inf))
-        (val,) = radix_select_value(key, (ck,), ranks_ref[i, k])
-        out_ref[i, k] = val
+        sels.append((_monotone_key(jnp.where(in_image, ck, jnp.inf)), ranks_ref[i, k], (ck,)))
+    results = radix_select_multi(sels)
+    for k in range(2):
+        out_ref[i, k] = results[k][0]
 
 
 def _mega_kernel(
@@ -248,14 +252,15 @@ def _mega_kernel(
     r_lo = nearest_rank_index(alpha, cnt_i)
     r_hi = nearest_rank_index(100 - alpha, cnt_i)
 
-    def extreme(rank):
-        c_sel, s_sel = radix_select_value(key, (t0, t1), rank)
+    phi_results = radix_select_multi([(key, r_lo, (t0, t1)), (key, r_hi, (t0, t1))])
+
+    def normalize_extreme(c_sel, s_sel):
         norm = jnp.sqrt(c_sel * c_sel + s_sel * s_sel)
         inv = jnp.where(norm > 1e-30, 1.0 / norm, 0.0)
         return c_sel * inv, s_sel * inv
 
-    cos_lo, sin_lo = extreme(r_lo)
-    cos_hi, sin_hi = extreme(r_hi)
+    cos_lo, sin_lo = normalize_extreme(*phi_results[0])
+    cos_hi, sin_hi = normalize_extreme(*phi_results[1])
 
     vmin = [v00 * cos_lo + v01 * sin_lo, v10 * cos_lo + v11 * sin_lo, v20 * cos_lo + v21 * sin_lo]
     vmax = [v00 * cos_hi + v01 * sin_hi, v10 * cos_hi + v11 * sin_hi, v20 * cos_hi + v21 * sin_hi]
@@ -273,8 +278,13 @@ def _mega_kernel(
     c0 = od[0] * m0[0] + od[1] * m0[1] + od[2] * m0[2]
     c1 = od[0] * m1[0] + od[1] * m1[1] + od[2] * m1[2]
     rank_hi = jnp.int32(idx_hi_conc)
-    (maxc0,) = radix_select_value(_monotone_key(jnp.where(in_image, c0, jnp.inf)), (c0,), rank_hi)
-    (maxc1,) = radix_select_value(_monotone_key(jnp.where(in_image, c1, jnp.inf)), (c1,), rank_hi)
+    c_results = radix_select_multi(
+        [
+            (_monotone_key(jnp.where(in_image, c0, jnp.inf)), rank_hi, (c0,)),
+            (_monotone_key(jnp.where(in_image, c1, jnp.inf)), rank_hi, (c1,)),
+        ]
+    )
+    (maxc0,), (maxc1,) = c_results
 
     tmc0, tmc1 = params_ref[0, 0], params_ref[0, 1]
     stain = [[params_ref[0, 2 + 2 * c + k] for k in range(2)] for c in range(3)]

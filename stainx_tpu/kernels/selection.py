@@ -64,28 +64,19 @@ def _ikey_view(key):
     return jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000), jnp.int32)
 
 
-def radix_select_value(key, x_fields, r0):
-    """In-kernel radix descent on ``key`` (uint32, monotone in the values);
-    returns the rank-``r0`` element's value for every array in ``x_fields``
-    (each key-shaped), resolved via the final member mask. Shared by every
-    selection kernel — the bit-twiddling here is subtle (logical shifts
-    with matching unsigned dtypes; mixed uint32>>int32 silently promotes to
-    a signed arithmetic shift) and must exist exactly once.
-
-    The descent starts below the valid keys' common prefix: real data spans
-    a narrow float range, so the leading 1–3 nibbles are constant and
-    counting them would be wasted levels. The leading differing-bit position
-    comes from the f32 exponent of the min⊕max key (exact — only the top
-    set bit matters), avoiding any clz dependency."""
+def _descent_init(key):
+    """Initial (prefix, level) for one descent: start below the valid keys'
+    common prefix — real data spans a narrow float range, so the leading
+    1–3 nibbles are constant and counting them would be wasted levels. The
+    leading differing-nibble position comes from seven scalar compares on
+    min⊕max (no clz, no casts; XOR is invariant under the sign-bit flip, so
+    the diff comes straight from the signed views — Mosaic has no SCALAR
+    bitcasts either)."""
     valid0 = key != jnp.uint32(_SENTINEL_KEY)
     ik = _ikey_view(key)
     ik_min = jnp.min(jnp.where(valid0, ik, jnp.int32(0x7FFFFFFF)))
     ik_max = jnp.max(jnp.where(valid0, ik, jnp.int32(-0x80000000)))
-    # XOR is invariant under the sign-bit flip, so the key diff comes
-    # straight from the signed views (Mosaic has no SCALAR bitcasts either).
     diff_i = ik_min ^ ik_max
-    # Number of constant leading nibbles: diff below 2^(32−4k) for each k.
-    # Seven scalar compares — no clz, no float-exponent trick, no casts.
     nonneg = diff_i >= 0  # top nibble differs when negative
     skip = jnp.int32(0)
     for k in range(1, 8):
@@ -99,47 +90,114 @@ def radix_select_value(key, x_fields, r0):
     ).astype(jnp.uint32)
     # it0 == 0 ⇒ empty prefix.
     prefix0 = jnp.where(it0 == 0, jnp.uint32(0), prefix0)
+    return prefix0, it0
+
+
+def radix_select_multi(selects):
+    """Run several radix descents in ONE while loop.
+
+    ``selects``: list of ``(key, rank, fields)`` — ``key`` uint32 monotone
+    in the values (masked elements = sentinel), ``rank`` scalar int32,
+    ``fields`` a tuple of key-shaped arrays to read at the rank element.
+    Returns a list (one per descent) of lists of selected field scalars.
+
+    Why fused: each radix level ends in a vector→scalar→vector round trip
+    (bucket counts → bucket choice → next level's compares). That serial
+    latency, not the 16 bucket counts themselves, dominates a level's cost
+    on TPU (measured: a 1-count-per-level binary search ran 5.8× SLOWER
+    than 16-count nibble levels on identical data). Fusing K descents
+    issues all K×16 independent counts inside one level, paying the round
+    trip once — the Macenko mega kernel's φ-pair and C-pair selections
+    each become one loop.
+
+    Per-descent algorithm (unchanged from round 1): split the current
+    key-prefix group by its next 4 bits; membership is integer equality
+    against the carried prefix — recomputed exactly at every level (no
+    float interval arithmetic, no quantum-wobble element loss), the carry
+    is scalars only (all Mosaic supports). At most 8 levels; early exit
+    once every target bucket holds ≤ 1 element.
+
+    Tie resolution across key-identical duplicates is deterministic: the
+    member with the smallest linear index supplies EVERY field, so
+    multi-field reads (the φ kernels' (cos, sin) pairs) always come from
+    one actual pixel (round-1 advisor finding)."""
+    n_sel = len(selects)
+    state = []
+    for key, rank, _fields in selects:
+        prefix0, it0 = _descent_init(key)
+        state.extend([prefix0, rank, it0, jnp.asarray(False)])
 
     def cond(state):
-        _, _, it, done = state
-        return jnp.logical_not(done) & (it < 8)
+        alive = jnp.asarray(False)
+        for d in range(n_sel):
+            _, _, it, done = state[4 * d : 4 * d + 4]
+            alive = alive | (jnp.logical_not(done) & (it < 8))
+        return alive
 
     def body(state):
-        prefix, r, it, _ = state
-        shift = (28 - 4 * it).astype(jnp.uint32)  # in {28, 24, ..., 0}
-        group = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape))
-        base = jax.lax.shift_left(prefix, jnp.uint32(4))
-        counts = [
-            jnp.sum((group == (base | jnp.uint32(j))).astype(jnp.int32)) for j in range(_B)
-        ]
-        cums = []
-        cum = jnp.int32(0)
-        for j in range(_B):
-            cum = cum + counts[j]
-            cums.append(cum)
-        # Bucket containing rank r: first j with cums[j] > r (scalar walk).
-        bsel = jnp.int32(0)
-        for j in range(_B):
-            bsel = bsel + (cums[j] <= r).astype(jnp.int32)
-        bsel = jnp.minimum(bsel, _B - 1)
-        below = jnp.int32(0)
-        sel_count = counts[0]
-        for j in range(1, _B):
-            below = jnp.where(bsel == j, cums[j - 1], below)
-            sel_count = jnp.where(bsel == j, counts[j], sel_count)
-        new_prefix = base | bsel.astype(jnp.uint32)
-        return new_prefix, r - below, it + 1, sel_count <= 1
+        new_state = []
+        for d, (key, _rank, _fields) in enumerate(selects):
+            prefix, r, it, done = state[4 * d : 4 * d + 4]
+            # Finished descents still trace their counts (no divergence in
+            # vector code) but freeze their state below. Clamp keeps the
+            # executed shift defined when it == 8.
+            shift = jnp.maximum(28 - 4 * it, 0).astype(jnp.uint32)
+            group = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape))
+            base = jax.lax.shift_left(prefix, jnp.uint32(4))
+            counts = [
+                jnp.sum((group == (base | jnp.uint32(j))).astype(jnp.int32))
+                for j in range(_B)
+            ]
+            cums = []
+            cum = jnp.int32(0)
+            for j in range(_B):
+                cum = cum + counts[j]
+                cums.append(cum)
+            # Bucket containing rank r: first j with cums[j] > r (scalar walk).
+            bsel = jnp.int32(0)
+            for j in range(_B):
+                bsel = bsel + (cums[j] <= r).astype(jnp.int32)
+            bsel = jnp.minimum(bsel, _B - 1)
+            below = jnp.int32(0)
+            sel_count = counts[0]
+            for j in range(1, _B):
+                below = jnp.where(bsel == j, cums[j - 1], below)
+                sel_count = jnp.where(bsel == j, counts[j], sel_count)
+            new_prefix = base | bsel.astype(jnp.uint32)
+            new_state.extend(
+                [
+                    jnp.where(done, prefix, new_prefix),
+                    jnp.where(done, r, r - below),
+                    jnp.where(done, it, it + 1),
+                    done | (sel_count <= 1),
+                ]
+            )
+        return tuple(new_state)
 
-    prefix, _, it, _ = jax.lax.while_loop(cond, body, (prefix0, r0, it0, jnp.asarray(False)))
-    # Members share the consumed prefix (it ≥ 1 here: it0=0 ⇒ diff≠0 ⇒ the
-    # first level always runs).
-    shift = (32 - 4 * it).astype(jnp.uint32)
-    member = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape)) == prefix
-    # Pick the member minimizing the key (= the rank element, up to
-    # key-identical duplicates).
-    sel_min = jnp.min(jnp.where(member, ik, jnp.int32(0x7FFFFFFF)))
-    chosen = member & (ik == sel_min)
-    return [jnp.max(jnp.where(chosen, f, -jnp.inf)) for f in x_fields]
+    state = jax.lax.while_loop(cond, body, tuple(state))
+
+    results = []
+    for d, (key, _rank, fields) in enumerate(selects):
+        prefix, _, it, _ = state[4 * d : 4 * d + 4]
+        # Members share the consumed prefix (it ≥ 1 here: it0=0 ⇒ diff≠0 ⇒
+        # the first level always runs). After early exit the member set is a
+        # single element; after a full 8 levels it is key-identical
+        # duplicates — either way every member holds the rank value.
+        shift = (32 - 4 * it).astype(jnp.uint32)
+        member = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape)) == prefix
+        s, lane = key.shape
+        idx = jax.lax.broadcasted_iota(jnp.int32, (s, lane), 0) * lane + (
+            jax.lax.broadcasted_iota(jnp.int32, (s, lane), 1)
+        )
+        sel_idx = jnp.min(jnp.where(member, idx, jnp.int32(0x7FFFFFFF)))
+        chosen = idx == sel_idx
+        results.append([jnp.max(jnp.where(chosen, f, -jnp.inf)) for f in fields])
+    return results
+
+
+def radix_select_value(key, x_fields, r0):
+    """Single-descent convenience wrapper around :func:`radix_select_multi`."""
+    return radix_select_multi([(key, r0, tuple(x_fields))])[0]
 
 
 def _select_kernel(ranks_ref, x_ref, out_ref, *, k_ranks: int):
@@ -147,9 +205,10 @@ def _select_kernel(ranks_ref, x_ref, out_ref, *, k_ranks: int):
     x = x_ref[0]  # (S, 128) f32; +inf = masked/padding
     key = _monotone_key(x)
 
+    # All K ranks descend in one fused loop (one level round-trip for all).
+    results = radix_select_multi([(key, ranks_ref[i, k], (x,)) for k in range(k_ranks)])
     for k in range(k_ranks):
-        (val,) = radix_select_value(key, (x,), ranks_ref[i, k])
-        out_ref[i, k] = val
+        out_ref[i, k] = results[k][0]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
