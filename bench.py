@@ -67,32 +67,52 @@ def main() -> None:
         use_pallas = False
         he, tmc = macenko_fit(ref, use_pallas=False)
 
-    # Delta timing with chained dispatches: each iteration consumes the
-    # previous output (uint8→uint8, same shape) so executions can't be
-    # elided, and a scalar host fetch at the end forces full device
+    # Delta timing with chained dispatches: each iteration consumes a scalar
+    # token from the previous output so executions can't be elided or
+    # reordered, and a scalar host fetch at the end forces full device
     # completion (remote-execution tunnels can make block_until_ready
     # return early; a value fetch cannot lie). The 1-iteration run's time
     # is subtracted to cancel dispatch/fetch overhead. (Wrapping the chain
     # in lax.scan instead sends XLA:TPU compile time pathological.)
-    step = jax.jit(lambda v: macenko_transform(v, he, tmc, use_pallas=use_pallas))
+    #
+    # Every iteration transforms the SAME fresh batch: the token mixes in as
+    # `v | (tok & 0)` (identity, one fused elementwise pass ≈ 0.1 ms, charged
+    # against us). Feeding the transformed output back as the next input —
+    # the previous protocol — is NOT representative: re-normalized images
+    # are near-rank-2 reconstructions whose radix descents exit ~13× earlier
+    # than on real tiles, inflating throughput ~2–3×.
+    def make_step(use_pallas_flag):
+        def _step(v, tok):
+            out = macenko_transform(
+                jnp.bitwise_or(v, jnp.bitwise_and(tok, jnp.uint8(0))),
+                he,
+                tmc,
+                use_pallas=use_pallas_flag,
+            )
+            return out, out[0, 0, 0, 0]
+
+        return jax.jit(_step)
+
+    step = make_step(use_pallas)
     probe = jax.jit(lambda v: v[0, 0, 0, 0].astype(jnp.float32))
+    tok0 = jnp.uint8(0)
     try:
-        float(probe(step(batch)))
+        float(probe(step(batch, tok0)[0]))
     except Exception as e:
         print(f"pallas transform failed ({type(e).__name__}); falling back to XLA", file=sys.stderr)
         use_pallas = False
-        step = jax.jit(lambda v: macenko_transform(v, he, tmc, use_pallas=False))
+        step = make_step(False)
 
     def run(iters: int) -> float:
         start = time.perf_counter()
-        y = batch
+        y, tok = batch, tok0
         for _ in range(iters):
-            y = step(y)
+            y, tok = step(batch, tok)
         checksum = float(probe(y))
         assert checksum == checksum, "NaN checksum"
         return time.perf_counter() - start
 
-    y = step(batch)  # compile + warm
+    y, _ = step(batch, tok0)  # compile + warm
     float(probe(y))
     run(1)
     base = min(run(1) for _ in range(3))
