@@ -343,6 +343,7 @@ def macenko_transform_mega(images, stain_matrix, target_max_conc, interpret: boo
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(x4.shape, images.dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(params, x4)
 
     n_, c, h, w = images.shape
@@ -364,9 +365,13 @@ def _row_layout(images: jnp.ndarray):
     return flat.reshape(n, c, s, _LANE), p, s
 
 
-MAX_FUSED_PIXELS = 262144  # 512²: the mega kernel's VMEM working set is
-# ~10 MB here (od planes + projection/key/concentration temporaries);
-# larger rows exceed VMEM and fall to the staged radix-selection path.
+# Mega-kernel row ceiling. Round 1 capped this at 512² believing 16 MB was
+# the physical VMEM; that number is only XLA's default *scoped* budget —
+# with `vmem_limit_bytes` raised, the kernel compiles and runs at 1024²
+# (41 MB working set, measured 1351 MPix/s vs 725 on the jnp path) and at
+# 1280×1024. Larger rows fall to the jnp pipeline (+ radix-select kernel
+# while rows fit MAX_ROW_ELEMS).
+MAX_FUSED_PIXELS = 1_310_720  # 1280×1024, largest compile-verified row
 
 
 def fused_row_budget_ok(images_shape, dtype) -> bool:
@@ -403,6 +408,7 @@ def phi_select_pallas(images, evecs, use_all, ranks, interpret: bool | None = No
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(ranks.astype(jnp.int32), params, x4)
     return out.reshape(n, 2, 2)
 
@@ -431,4 +437,5 @@ def c_select_pallas(images, solve_m, ranks, interpret: bool | None = None):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n, 2), jnp.float32),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(ranks.astype(jnp.int32), params, x4)

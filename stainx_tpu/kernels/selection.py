@@ -13,9 +13,11 @@ like the floats). Each level splits the current key-prefix group by its
 next 4 bits; group membership is an integer equality against the carried
 prefix — recomputed exactly at every level (no float interval arithmetic,
 no possibility of the quantum-wobble element loss that value-space
-refinement must guard against), and the while carry is three scalars, which
-is all Mosaic supports. At most 8 levels; early exit once the target bucket
-holds one element. Bit-exact by construction.
+refinement must guard against), and the while carry is four scalars per
+descent, which is all Mosaic supports. At most 8 levels; early exit once
+the target bucket holds one element. Bit-exact by construction. Several
+descents fuse into ONE while loop (:func:`radix_select_multi`) — the
+serial per-level round trip, not the 16 bucket counts, dominates a level.
 
 Replaces the role of the reference's full-sort percentile machinery
 (``src/stainx_cuda_torch/csrc/macenko.cu:52-58,209-216``) the TPU way: no
@@ -64,18 +66,14 @@ def _ikey_view(key):
     return jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000), jnp.int32)
 
 
-def _descent_init(key):
-    """Initial (prefix, level) for one descent: start below the valid keys'
-    common prefix — real data spans a narrow float range, so the leading
-    1–3 nibbles are constant and counting them would be wasted levels. The
-    leading differing-nibble position comes from seven scalar compares on
-    min⊕max (no clz, no casts; XOR is invariant under the sign-bit flip, so
-    the diff comes straight from the signed views — Mosaic has no SCALAR
-    bitcasts either)."""
-    valid0 = key != jnp.uint32(_SENTINEL_KEY)
-    ik = _ikey_view(key)
-    ik_min = jnp.min(jnp.where(valid0, ik, jnp.int32(0x7FFFFFFF)))
-    ik_max = jnp.max(jnp.where(valid0, ik, jnp.int32(-0x80000000)))
+def _prefix_from_minmax(ik_min, ik_max):
+    """Initial (prefix, level) from the valid keys' min/max signed views:
+    start below the common prefix — real data spans a narrow float range,
+    so the leading 1–3 nibbles are constant and counting them would be
+    wasted levels. The leading differing-nibble position comes from seven
+    scalar compares on min⊕max (no clz, no casts; XOR is invariant under
+    the sign-bit flip, so the diff comes straight from the signed views —
+    Mosaic has no SCALAR bitcasts either)."""
     diff_i = ik_min ^ ik_max
     nonneg = diff_i >= 0  # top nibble differs when negative
     skip = jnp.int32(0)
@@ -91,6 +89,79 @@ def _descent_init(key):
     # it0 == 0 ⇒ empty prefix.
     prefix0 = jnp.where(it0 == 0, jnp.uint32(0), prefix0)
     return prefix0, it0
+
+
+def _descent_init(key):
+    valid0 = key != jnp.uint32(_SENTINEL_KEY)
+    ik = _ikey_view(key)
+    ik_min = jnp.min(jnp.where(valid0, ik, jnp.int32(0x7FFFFFFF)))
+    ik_max = jnp.max(jnp.where(valid0, ik, jnp.int32(-0x80000000)))
+    return _prefix_from_minmax(ik_min, ik_max)
+
+
+def radix_descend_multi(selects):
+    """The fused descent of :func:`radix_select_multi` without the field
+    resolution: returns per-descent ``(prefix, it)`` — the consumed key
+    prefix and its nibble length. Callers with lazily-recomputed fields
+    resolve members themselves via :func:`member_mask`."""
+    n_sel = len(selects)
+    state = []
+    for key, rank in selects:
+        prefix0, it0 = _descent_init(key)
+        state.extend([prefix0, rank, it0, jnp.asarray(False)])
+
+    def cond(state):
+        alive = jnp.asarray(False)
+        for d in range(n_sel):
+            _, _, it, done = state[4 * d : 4 * d + 4]
+            alive = alive | (jnp.logical_not(done) & (it < 8))
+        return alive
+
+    def body(state):
+        new_state = []
+        for d, (key, _rank) in enumerate(selects):
+            prefix, r, it, done = state[4 * d : 4 * d + 4]
+            shift = jnp.maximum(28 - 4 * it, 0).astype(jnp.uint32)
+            group = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape))
+            base = jax.lax.shift_left(prefix, jnp.uint32(4))
+            counts = [
+                jnp.sum((group == (base | jnp.uint32(j))).astype(jnp.int32))
+                for j in range(_B)
+            ]
+            cums = []
+            cum = jnp.int32(0)
+            for j in range(_B):
+                cum = cum + counts[j]
+                cums.append(cum)
+            bsel = jnp.int32(0)
+            for j in range(_B):
+                bsel = bsel + (cums[j] <= r).astype(jnp.int32)
+            bsel = jnp.minimum(bsel, _B - 1)
+            below = jnp.int32(0)
+            sel_count = counts[0]
+            for j in range(1, _B):
+                below = jnp.where(bsel == j, cums[j - 1], below)
+                sel_count = jnp.where(bsel == j, counts[j], sel_count)
+            new_prefix = base | bsel.astype(jnp.uint32)
+            new_state.extend(
+                [
+                    jnp.where(done, prefix, new_prefix),
+                    jnp.where(done, r, r - below),
+                    jnp.where(done, it, it + 1),
+                    done | (sel_count <= 1),
+                ]
+            )
+        return tuple(new_state)
+
+    state = jax.lax.while_loop(cond, body, tuple(state))
+    return [(state[4 * d], state[4 * d + 2]) for d in range(n_sel)]
+
+
+def member_mask(key, prefix, it):
+    """Membership of the descent's final group: keys sharing the consumed
+    ``4·it``-bit prefix (it ≥ 1 always — the first level always runs)."""
+    shift = (32 - 4 * it).astype(jnp.uint32)
+    return jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape)) == prefix
 
 
 def radix_select_multi(selects):
@@ -121,70 +192,14 @@ def radix_select_multi(selects):
     member with the smallest linear index supplies EVERY field, so
     multi-field reads (the φ kernels' (cos, sin) pairs) always come from
     one actual pixel (round-1 advisor finding)."""
-    n_sel = len(selects)
-    state = []
-    for key, rank, _fields in selects:
-        prefix0, it0 = _descent_init(key)
-        state.extend([prefix0, rank, it0, jnp.asarray(False)])
-
-    def cond(state):
-        alive = jnp.asarray(False)
-        for d in range(n_sel):
-            _, _, it, done = state[4 * d : 4 * d + 4]
-            alive = alive | (jnp.logical_not(done) & (it < 8))
-        return alive
-
-    def body(state):
-        new_state = []
-        for d, (key, _rank, _fields) in enumerate(selects):
-            prefix, r, it, done = state[4 * d : 4 * d + 4]
-            # Finished descents still trace their counts (no divergence in
-            # vector code) but freeze their state below. Clamp keeps the
-            # executed shift defined when it == 8.
-            shift = jnp.maximum(28 - 4 * it, 0).astype(jnp.uint32)
-            group = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape))
-            base = jax.lax.shift_left(prefix, jnp.uint32(4))
-            counts = [
-                jnp.sum((group == (base | jnp.uint32(j))).astype(jnp.int32))
-                for j in range(_B)
-            ]
-            cums = []
-            cum = jnp.int32(0)
-            for j in range(_B):
-                cum = cum + counts[j]
-                cums.append(cum)
-            # Bucket containing rank r: first j with cums[j] > r (scalar walk).
-            bsel = jnp.int32(0)
-            for j in range(_B):
-                bsel = bsel + (cums[j] <= r).astype(jnp.int32)
-            bsel = jnp.minimum(bsel, _B - 1)
-            below = jnp.int32(0)
-            sel_count = counts[0]
-            for j in range(1, _B):
-                below = jnp.where(bsel == j, cums[j - 1], below)
-                sel_count = jnp.where(bsel == j, counts[j], sel_count)
-            new_prefix = base | bsel.astype(jnp.uint32)
-            new_state.extend(
-                [
-                    jnp.where(done, prefix, new_prefix),
-                    jnp.where(done, r, r - below),
-                    jnp.where(done, it, it + 1),
-                    done | (sel_count <= 1),
-                ]
-            )
-        return tuple(new_state)
-
-    state = jax.lax.while_loop(cond, body, tuple(state))
+    descended = radix_descend_multi([(key, rank) for key, rank, _fields in selects])
 
     results = []
-    for d, (key, _rank, fields) in enumerate(selects):
-        prefix, _, it, _ = state[4 * d : 4 * d + 4]
-        # Members share the consumed prefix (it ≥ 1 here: it0=0 ⇒ diff≠0 ⇒
-        # the first level always runs). After early exit the member set is a
-        # single element; after a full 8 levels it is key-identical
-        # duplicates — either way every member holds the rank value.
-        shift = (32 - 4 * it).astype(jnp.uint32)
-        member = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape)) == prefix
+    for (key, _rank, fields), (prefix, it) in zip(selects, descended):
+        # After early exit the member set is a single element; after a full
+        # 8 levels it is key-identical duplicates — either way every member
+        # holds the rank value.
+        member = member_mask(key, prefix, it)
         s, lane = key.shape
         idx = jax.lax.broadcasted_iota(jnp.int32, (s, lane), 0) * lane + (
             jax.lax.broadcasted_iota(jnp.int32, (s, lane), 1)
@@ -249,4 +264,7 @@ def kth_smallest_pallas(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows, k_ranks), jnp.float32),
         interpret=interpret,
+        # Above XLA's default 16 MB scoped-vmem budget (v5e has headroom):
+        # a 4 MB row plus its key/iota temporaries peaks ~23 MB.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
     )(ranks.astype(jnp.int32), x3)

@@ -216,89 +216,13 @@ def _macenko_transform_fused(images, stain_matrix, target_max_conc):
     radix selection, reconstruction) in one VMEM residency; HBM traffic is
     one read of the input and one write of the output
     (:func:`stainx_tpu.kernels.macenko_fused.macenko_transform_mega`).
-    The staged three-kernel pipeline below remains as the structural
-    reference and debugging twin."""
+    (A chunk-staged two-phase variant — params kernel + XLA reconstruction —
+    was built and measured 10× slower at 1024²: unrolled chunk loops
+    serialize the descent's bucket counts; the fix was raising XLA's
+    default 16 MB scoped-VMEM cap so this kernel compiles at 1024².)"""
     from stainx_tpu.kernels.macenko_fused import macenko_transform_mega
 
     return macenko_transform_mega(images, stain_matrix, target_max_conc)
-
-
-def _macenko_transform_staged(images, stain_matrix, target_max_conc):
-    """Staged fused pipeline (moments kernel → jnp eigh → φ-select kernel →
-    jnp H/E solve → C-select kernel → fused jnp reconstruction)."""
-    from stainx_tpu.kernels.macenko_fused import c_select_pallas, phi_select_pallas
-    from stainx_tpu.kernels.moments import od_moments_pallas
-
-    original_dtype = images.dtype
-    was_uint8 = original_dtype == jnp.uint8
-    n, c, h, w = images.shape
-    p = h * w
-
-    cnt_m, s1_m, s2_m = od_moments_pallas(images)
-    use_all = cnt_m < 3.0
-    # All-pixel fallback moments only when some row starved the β-filter
-    # (the reference's <3-pixel rule, macenko.cu:105-110) — rare, so the
-    # second kernel instance runs under a cond.
-    s1_a, s2_a = jax.lax.cond(
-        jnp.any(use_all),
-        lambda im: od_moments_pallas(im, masked=False)[1:],
-        lambda im: (jnp.zeros((n, 3), jnp.float32), jnp.zeros((n, 3, 3), jnp.float32)),
-        images,
-    )
-    cnt_eff = jnp.where(use_all, float(p), cnt_m)
-    s1 = jnp.where(use_all[:, None], s1_a, s1_m)
-    s2 = jnp.where(use_all[:, None, None], s2_a, s2_m)
-    cov = cov_from_moments(cnt_eff, s1, s2)
-    evecs = eigh3_top2(cov)  # (N, 3, 2)
-
-    cnt_i = jnp.round(cnt_eff).astype(jnp.int32)
-    ranks_phi = jnp.stack(
-        [nearest_rank_index(ALPHA, cnt_i), nearest_rank_index(100 - ALPHA, cnt_i)], axis=1
-    )
-    cs = phi_select_pallas(images, evecs, use_all, ranks_phi)  # (N, 2, 2)
-
-    def extreme(k):
-        return evecs[:, :, 0] * cs[:, k, 0, None] + evecs[:, :, 1] * cs[:, k, 1, None]
-
-    v_min, v_max = extreme(0), extreme(1)
-    swap = (v_min[:, 0] > v_max[:, 0])[:, None, None]
-    he = jnp.where(
-        swap, jnp.stack([v_min, v_max], axis=-1), jnp.stack([v_max, v_min], axis=-1)
-    )  # (N, 3, 2)
-
-    h0, h1 = he[:, :, 0], he[:, :, 1]
-    a = jnp.sum(h0 * h0, axis=-1)
-    b = jnp.sum(h0 * h1, axis=-1)
-    cc = jnp.sum(h1 * h1, axis=-1)
-    inv_det = 1.0 / (a * cc - b * b)
-    # M = inv(HEᵀHE)·HEᵀ, rows (N, 2, 3)
-    m0 = (cc * inv_det)[:, None] * h0 - (b * inv_det)[:, None] * h1
-    m1 = (a * inv_det)[:, None] * h1 - (b * inv_det)[:, None] * h0
-    solve_m = jnp.stack([m0, m1], axis=1)
-
-    idx99 = static_nearest_rank_index(99, p)
-    max_c = c_select_pallas(images, solve_m, jnp.full((n, 2), idx99, jnp.int32))  # (N, 2)
-
-    tmc = target_max_conc.reshape(-1).astype(jnp.float32)
-    scale = tmc[None, :] / max_c  # (N, 2)
-
-    # Reconstruction matrix R = stain·diag(scale)·M per image (N, 3, 3);
-    # the output is then a fused elementwise function of the raw input.
-    # Elementwise K=2 sum (an einsum would take the bf16 MXU default).
-    stain = stain_matrix.astype(jnp.float32)
-    r_mat = (
-        stain[None, :, None, 0] * (scale[:, 0, None] * solve_m[:, 0])[:, None, :]
-        + stain[None, :, None, 1] * (scale[:, 1, None] * solve_m[:, 1])[:, None, :]
-    )  # (N, 3, 3)
-
-    images_float = color.normalize_to_float(images)
-    od = optical_density(images_float).reshape(n, 3, p)
-    recon = [
-        sum(r_mat[:, i, d, None] * od[:, d] for d in range(3)) for i in range(3)
-    ]
-    od_recon = jnp.stack(recon, axis=1)
-    rgb = jnp.clip(IO * jnp.exp(-od_recon), 0.0, 255.0).reshape(n, c, h, w)
-    return color.preserve_dtype(rgb, original_dtype, was_uint8, result_in_0_255_range=True)
 
 
 @partial(jax.jit, static_argnames=("precision", "use_pallas"))

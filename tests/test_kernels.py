@@ -194,11 +194,6 @@ class TestFusedMacenko:
         out_fused = np.asarray(
             mk._macenko_transform_fused(jnp.asarray(src), he, tmc)
         ).astype(np.float32)
-        out_staged = np.asarray(
-            mk._macenko_transform_staged(jnp.asarray(src), he, tmc)
-        ).astype(np.float32)
-        scale0 = 255.0 if dtype == "float32" else 1.0
-        assert np.abs(out_staged * scale0 - out_fused * scale0).mean() <= 0.35
         scale = 255.0 if dtype == "float32" else 1.0
         assert np.abs(out_std * scale - out_fused * scale).mean() <= 0.35
         assert (np.abs(out_std * scale - out_fused * scale) > 2.0).mean() < 0.005
@@ -231,15 +226,17 @@ def test_fused_kernels_nonpow2_sizes():
 
 
 def test_fused_budget_ladder():
-    """Size ladder: mega kernel ≤ 512² (VMEM working set), radix-selection
-    path ≤ 1M px, jnp beyond (verified live on TPU at 1024²/2048²)."""
+    """Size ladder: mega kernel through 1024²-class uint8 rows (scoped-VMEM
+    cap raised past XLA's 16 MB default — compile-verified at 1280×1024 on
+    v5e), float capped by input-row bytes, jnp + radix-select beyond."""
     import jax.numpy as jnp
 
-    from stainx_tpu.kernels.macenko_fused import MAX_FUSED_PIXELS, fused_row_budget_ok
+    from stainx_tpu.kernels.macenko_fused import fused_row_budget_ok
     from stainx_tpu.kernels.selection import MAX_ROW_ELEMS
 
     assert fused_row_budget_ok((1, 3, 512, 512), jnp.uint8)
     assert fused_row_budget_ok((1, 3, 512, 512), jnp.float32)
-    assert not fused_row_budget_ok((1, 3, 1024, 1024), jnp.uint8)
-    assert MAX_FUSED_PIXELS == 512 * 512
-    assert 1024 * 1024 <= MAX_ROW_ELEMS  # 1024² still uses the radix kernel
+    assert fused_row_budget_ok((1, 3, 1024, 1024), jnp.uint8)
+    assert not fused_row_budget_ok((1, 3, 1024, 1024), jnp.float32)  # 12 MB f32 rows
+    assert not fused_row_budget_ok((1, 3, 2048, 2048), jnp.uint8)
+    assert 1024 * 1024 <= MAX_ROW_ELEMS  # f32 1024² uses the radix-select kernel

@@ -249,7 +249,8 @@ class TestSampledSelection:
 @pytest.mark.slow
 class TestLargeTiles:
     """Reference sizes go to 2048² (test_correctness_against_references.py:99).
-    1024² sits at the Pallas row budget; 2048² exercises the jnp fallback."""
+    1024² runs the mega kernel on TPU (scoped-VMEM cap raised); 2048²
+    exercises the jnp sampled-selection fallback."""
 
     def test_1024(self):
         ref_img = oracle.synthetic_he_tile(1024, 1024, seed=42)
