@@ -65,8 +65,19 @@ def main() -> None:
     p.add_argument("--batch-size", nargs="+", type=int, default=[32, 64, 128])
     p.add_argument("--image-size", nargs="+", type=int, default=[128, 256, 512])
     p.add_argument("--runs", type=int, default=10)
+    p.add_argument(
+        "--dtype",
+        default="uint8",
+        choices=["uint8", "float32"],
+        help="input dtype: uint8 [0,255] or float32 [0,1] (BASELINE.md names both)",
+    )
     p.add_argument("--json", action="store_true", help="emit one JSON line per config")
     args = p.parse_args()
+
+    def cast(batch_u8: np.ndarray) -> np.ndarray:
+        if args.dtype == "float32":
+            return batch_u8.astype(np.float32) / 255.0
+        return batch_u8
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/stainx_jax_cache")
 
@@ -74,16 +85,21 @@ def main() -> None:
         ref = synthetic_he_batch(1, size, size, seed=42)
         step = _build(args.method, ref)
 
-        probe = synthetic_he_batch(2, size, size, seed=7, he_scale=1.1)
-        probe_mae = mae(np.asarray(jax.jit(step)(jax.device_put(probe))), _oracle_probe(args.method, ref, probe))
+        probe = cast(synthetic_he_batch(2, size, size, seed=7, he_scale=1.1))
+        probe_out = np.asarray(jax.jit(step)(jax.device_put(probe))).astype(np.float32)
+        probe_exp = _oracle_probe(args.method, ref, probe).astype(np.float32)
+        # Grey-level MAE regardless of dtype (float Reinhard/HM emit [0,1]).
+        scale = 255.0 if (args.dtype == "float32" and probe_out.max() <= 1.5) else 1.0
+        probe_mae = mae(probe_out * scale, probe_exp * scale)
 
         for batch in args.batch_size:
-            src = jax.device_put(synthetic_he_batch(batch, size, size, seed=123, he_scale=1.15))
+            src = jax.device_put(cast(synthetic_he_batch(batch, size, size, seed=123, he_scale=1.15)))
             secs = time_on_device(step, src, runs=args.runs)
             img_s = batch / secs
             mpix_s = batch * size * size / 1e6 / secs
             row = {
                 "method": args.method,
+                "dtype": args.dtype,
                 "batch": batch,
                 "size": size,
                 "img_per_s": round(img_s, 1),
@@ -94,7 +110,7 @@ def main() -> None:
                 print(json.dumps(row))
             else:
                 print(
-                    f"{args.method} {batch}x3x{size}x{size}: {img_s:9.1f} img/s "
+                    f"{args.method}[{args.dtype}] {batch}x3x{size}x{size}: {img_s:9.1f} img/s "
                     f"{mpix_s:8.1f} MPix/s  (MAE {probe_mae:.4f})"
                 )
 

@@ -3,9 +3,11 @@
 Counterpart of the reference's ``benchmarks/utils.py`` (warmup +
 ``torch.cuda.synchronize()`` bracketing, ``:51-75``). On TPU,
 ``block_until_ready`` alone can under-report through remote-execution
-tunnels, so the core timer runs R iterations inside one jitted
-``lax.scan`` and fetches a scalar — wall clock then necessarily covers all
-device work.
+tunnels, so the core timer chains R dispatches through a scalar token and
+fetches a scalar at the end — wall clock then necessarily covers all
+device work. (An earlier version wrapped the loop in one ``lax.scan``;
+scanning a whole transform sends XLA:TPU compile times pathological —
+20+ minutes — per the project's own landmine list.)
 """
 
 from __future__ import annotations
@@ -31,18 +33,39 @@ def synthetic_he_batch(n: int, h: int, w: int, seed: int = 0, he_scale: float = 
 
 
 def time_on_device(step: Callable, init, runs: int = 20) -> float:
-    """Seconds per iteration of ``step`` (a shape-preserving array→array
-    function), measured as an on-device ``lax.scan`` chain."""
+    """Seconds per iteration of ``step`` (an array→array function).
+
+    Each iteration re-processes ``init`` (fresh data — feeding outputs back
+    would drift the input distribution) but consumes a scalar token from
+    the previous output, so dispatches chain and cannot be elided; the
+    final scalar fetch forces completion (``block_until_ready`` can return
+    early through remote-execution relays). The 1-iteration time is
+    subtracted to cancel dispatch/fetch overhead — the bench.py protocol.
+    """
 
     @jax.jit
-    def loop(x):
-        out, _ = jax.lax.scan(lambda c, _: (step(c), ()), x, None, length=runs)
-        return jnp.sum(out.astype(jnp.float32))
+    def chained(x, tok):
+        out = step(x + (tok * 0).astype(x.dtype))  # identity, forces ordering
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        return out, leaf.reshape(-1)[0].astype(jnp.float32)
 
-    float(loop(init))  # compile + warm
-    start = time.perf_counter()
-    float(loop(init))
-    return (time.perf_counter() - start) / runs
+    @jax.jit
+    def probe(tok):
+        return tok
+
+    def run(iters: int) -> float:
+        start = time.perf_counter()
+        tok = jnp.float32(0)
+        out = None
+        for _ in range(iters):
+            out, tok = chained(init, tok)
+        float(probe(tok))
+        return time.perf_counter() - start
+
+    run(1)  # compile + warm
+    base = min(run(1) for _ in range(3))
+    total = run(1 + runs)
+    return max(total - base, 1e-9) / runs
 
 
 def mae(a: np.ndarray, b: np.ndarray) -> float:

@@ -75,7 +75,7 @@ def hm_fit_sharded(images, axis_name, channel_axis: int = 1):
 # ----------------------------------------------------------------- Macenko
 
 
-def macenko_fit_sharded(images, axis_name, percentile_levels: int = 3):
+def macenko_fit_sharded(images, axis_name, percentile_levels: int = 0):
     """Distributed Macenko fit over a sharded pixel pool.
 
     The covariance comes from psum'd additive masked moments (the 10-scalar

@@ -1,4 +1,4 @@
-"""Exact distributed nearest-rank percentile — multi-level global-histogram
+"""Exact distributed nearest-rank percentile — adaptive global-histogram
 refinement with ``psum``-reduced counts.
 
 The single-chip path selects ranks with VMEM-resident radix descent
@@ -6,18 +6,32 @@ The single-chip path selects ranks with VMEM-resident radix descent
 move ~1% of all pixels over ICI. Instead each refinement level builds a
 256-bin histogram of the surviving values (one fused compare-reduce pass
 locally, one 256-int ``psum`` globally), descends into the bin containing
-the target rank, and repeats — after L levels the candidate interval has
-shrunk by 256^L. A final bounded ``all_gather`` of the few surviving
-candidates makes the result exactly the global nearest-rank value (SURVEY
-§7 hard-part #5: "two-pass (global histogram → refine)").
+the target rank, and repeats. Refinement is ADAPTIVE (round-2, closing the
+round-1 exactness cliff): levels continue until either
+
+- the in-interval rank ``r`` drops below the gather cap — then the final
+  ``all_gather`` of each shard's ``cap`` smallest survivors provably
+  contains the global rank element (any shard holds at most ``r < cap``
+  survivors ≤ it), or
+- every surviving candidate is bit-identical — then the value IS the
+  answer and no gather is needed (near-duplicate data would otherwise
+  never push ``r`` under the cap).
+
+Each level shrinks the interval 256×, so ≤ 8 levels resolve any f32 range
+to single-ulp width; the depth bound is a backstop, not a truncation.
 
 Multiple percentiles of (possibly different) fields evaluate **together**:
 ``x`` may be (K, P_local) with one rank per row, so each level costs ONE
 (K, 256) ``psum`` round instead of K sequential collectives — the Macenko
 fit batches its φ pair and its C0/C1 pair this way.
 
-Communication: L × K×256 ints + one ≤(256·n_dev·K) float gather —
-independent of pixel count.
+Communication: depth × (K×256 + 4K) ints/floats + one ≤(256·n_dev·K)
+float gather — independent of pixel count.
+
+Count range: counts and ranks are int32 — exact up to 2³¹−1 pooled valid
+pixels (≈ 8 000 chips × 64 × 512² tiles in ONE batch-mode fit step).
+Between 2³¹ and 2³² the psum wraps negative and the result is NaN (the
+``cnt > 0`` guard); this is the documented ceiling.
 """
 
 from __future__ import annotations
@@ -28,6 +42,7 @@ import jax.numpy as jnp
 from stainx_tpu.ops.percentile import nearest_rank_index
 
 _GATHER_CAP = 256  # per-shard candidates in the final exact step
+_MAX_LEVELS = 8  # 256^8 = 2^64-fold refinement: past any f32 spread
 
 
 def _level_histograms(x, valid, lo, width):
@@ -43,7 +58,7 @@ def distributed_masked_percentile(
     mask: jnp.ndarray,
     q,
     axis_name,
-    levels: int = 3,
+    levels: int = 0,
 ) -> jnp.ndarray:
     """Global nearest-rank percentile(s) of the masked union of every
     shard's ``x``. Call inside ``shard_map``; ``axis_name`` may be one name
@@ -51,14 +66,13 @@ def distributed_masked_percentile(
     percentile ``q``) or (K, P) with a length-K sequence of percentiles —
     returning a scalar or a (K,) vector (replicated).
 
-    Exact up to a 256^levels-fold-refined interval: if more than
-    ``256·n_dev`` candidates remain inside that interval (i.e. the data has
-    that many near-identical values), the result may differ from the true
-    rank value by less than the final interval width.
+    ``levels`` is a minimum refinement depth (comm-latency tuning only);
+    refinement always continues until the result is provably exact (module
+    docstring), so the returned value IS the global nearest-rank element.
     """
     single = x.ndim == 1
     x2 = (x[None] if single else x).astype(jnp.float32)
-    valid = mask[None] if single else mask
+    valid0 = mask[None] if single else mask
     # Scalars of any integral flavor (int, numpy integer, 99.0) are a single
     # percentile; only genuine sequences are per-row percentiles.
     qs = tuple(q) if isinstance(q, (tuple, list)) else (q,)
@@ -66,15 +80,32 @@ def distributed_masked_percentile(
     if len(qs) != k_rows:
         raise ValueError(f"{len(qs)} percentiles for {k_rows} rows")
 
-    cnt = jax.lax.psum(jnp.sum(valid, axis=-1, dtype=jnp.int32), axis_name)  # (K,)
-    r = jnp.stack([nearest_rank_index(qs[i], cnt[i]) for i in range(k_rows)])
+    cnt = jax.lax.psum(jnp.sum(valid0, axis=-1, dtype=jnp.int32), axis_name)  # (K,)
+    r0 = jnp.stack([nearest_rank_index(qs[i], cnt[i]) for i in range(k_rows)])
 
     inf = jnp.float32(jnp.inf)
-    lo = jax.lax.pmin(jnp.min(jnp.where(valid, x2, inf), axis=-1), axis_name)
-    hi = jax.lax.pmax(jnp.max(jnp.where(valid, x2, -inf), axis=-1), axis_name)
+    cap = min(_GATHER_CAP, x2.shape[-1])
 
-    def level(state, _):
-        lo, hi, r, valid = state
+    def survivor_span(valid):
+        smin = jax.lax.pmin(jnp.min(jnp.where(valid, x2, inf), axis=-1), axis_name)
+        smax = jax.lax.pmax(jnp.max(jnp.where(valid, x2, -inf), axis=-1), axis_name)
+        return smin, smax
+
+    lo0, hi0 = survivor_span(valid0)
+
+    def unresolved(r, smin, smax):
+        return (r >= cap) & (smax > smin)
+
+    def cond(state):
+        _lo, _hi, r, _valid, smin, smax, depth = state
+        # All decisions derive from replicated collectives → identical on
+        # every shard (a requirement for collectives inside the loop body).
+        return (jnp.any(unresolved(r, smin, smax)) & (depth < _MAX_LEVELS)) | (
+            depth < levels
+        )
+
+    def body(state):
+        lo, hi, r, valid, smin, smax, depth = state
         width = jnp.maximum((hi - lo) / 256.0, 1e-37)
         hist_local, b = _level_histograms(x2, valid, lo, width)
         hist = jax.lax.psum(hist_local, axis_name)  # ONE (K, 256) collective
@@ -83,17 +114,24 @@ def distributed_masked_percentile(
         below = jnp.where(
             bsel > 0, jnp.take_along_axis(c, jnp.maximum(bsel - 1, 0)[:, None], -1)[:, 0], 0
         )
-        new_r = r - below
-        new_valid = valid & (b == bsel[:, None])
-        new_lo = lo + bsel.astype(jnp.float32) * width
-        return (new_lo, new_lo + width, new_r, new_valid), None
+        # Freeze rows that are already resolved (their survivors must keep
+        # matching the final gather / equal-value read-out).
+        live = unresolved(r, smin, smax)
+        new_r = jnp.where(live, r - below, r)
+        new_valid = jnp.where(live[:, None], valid & (b == bsel[:, None]), valid)
+        new_lo = jnp.where(live, lo + bsel.astype(jnp.float32) * width, lo)
+        new_hi = jnp.where(live, new_lo + width, hi)
+        new_smin, new_smax = survivor_span(new_valid)
+        return (new_lo, new_hi, new_r, new_valid, new_smin, new_smax, depth + 1)
 
-    (lo, hi, r, valid), _ = jax.lax.scan(level, (lo, hi, r, valid), None, length=levels)
+    lo, hi, r, valid, smin, smax, _ = jax.lax.while_loop(
+        cond, body, (lo0, hi0, r0, valid0, lo0, hi0, jnp.int32(0))
+    )
 
-    # Final exact step: gather the (few) surviving candidates per row and
-    # take the r-th smallest globally.
+    # Final exact step: gather each shard's `cap` smallest survivors and take
+    # the r-th smallest globally (exact whenever r < cap — guaranteed by the
+    # loop unless the survivors are all identical, handled below).
     neg = jnp.where(valid, -x2, -inf)
-    cap = min(_GATHER_CAP, x2.shape[-1])
     local_top, _ = jax.lax.top_k(neg, cap)  # (K, cap), ascending as -values
     gathered = local_top
     axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
@@ -103,6 +141,8 @@ def distributed_masked_percentile(
     r_clamped = jnp.minimum(r, cap - 1)
     result = -jnp.take_along_axis(g_top, r_clamped[:, None], axis=-1)[:, 0]
 
+    # Identical survivors: the common value is the rank value, whatever r.
+    result = jnp.where(smax <= smin, smin, result)
     # Degenerate global cases: no valid values → NaN (caller's contract).
     result = jnp.where(cnt > 0, result, jnp.float32(jnp.nan))
     return result[0] if single else result

@@ -54,6 +54,30 @@ class TestDistributedPercentile:
         expected = vals[static_nearest_rank_index(q, vals.size)]
         np.testing.assert_allclose(float(got), expected, rtol=1e-6)
 
+    def test_near_duplicate_cluster_beyond_gather_cap(self, mesh):
+        """Adversarial: >256·n_dev DISTINCT near-identical values inside the
+        refined interval, all living on ONE shard — the fixed-depth round-1
+        scheme clamped the rank and returned a wrong value; adaptive
+        deepening must keep refining until the rank drops under the cap."""
+        n = 8 * 4096
+        x = np.linspace(0.0, 1.0, n).astype(np.float32)
+        # Dense cluster of 4000 distinct values spaced one-ulp-ish apart,
+        # placed entirely on shard 0 (shards are contiguous slices).
+        x[:4000] = np.float32(0.5) + np.arange(4000, dtype=np.float32) * np.float32(2**-23)
+        mask = np.ones_like(x, bool)
+
+        got = jax.jit(
+            jax.shard_map(
+                lambda xs, ms: parallel.distributed_masked_percentile(xs, ms, 50, "batch"),
+                mesh=mesh,
+                in_specs=jax.sharding.PartitionSpec("batch"),
+                out_specs=jax.sharding.PartitionSpec(),
+                check_vma=False,
+            )
+        )(jnp.asarray(x), jnp.asarray(mask))
+        expected = np.sort(x)[static_nearest_rank_index(50, n)]
+        assert float(got) == expected
+
     def test_heavy_duplicates(self, mesh):
         """Many identical values: result must still land on the duplicated
         value (the documented near-identical-candidates regime)."""
