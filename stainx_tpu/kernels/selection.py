@@ -98,65 +98,168 @@ def _descent_init(key):
     ik = _ikey_view(key)
     ik_min = jnp.min(jnp.where(valid0, ik, jnp.int32(0x7FFFFFFF)))
     ik_max = jnp.max(jnp.where(valid0, ik, jnp.int32(-0x80000000)))
-    return _prefix_from_minmax(ik_min, ik_max)
+    prefix0, it0 = _prefix_from_minmax(ik_min, ik_max)
+    return prefix0, it0, jnp.sum(valid0.astype(jnp.int32)), ik_min, ik_max
+
+
+def _nibble_at(ik, it):
+    """Nibble of the (signed-view) key at descent level ``it`` (0-based from
+    the top); logical shifts keep the int32 operand well-defined."""
+    shift = jnp.maximum(28 - 4 * it, 0)
+    return jax.lax.shift_right_logical(ik ^ jnp.int32(-0x80000000), shift) & 15
+
+
+_NS = 8  # scalars of while-carry per descent
 
 
 def radix_descend_multi(selects):
     """The fused descent of :func:`radix_select_multi` without the field
     resolution: returns per-descent ``(prefix, it)`` — the consumed key
     prefix and its nibble length. Callers with lazily-recomputed fields
-    resolve members themselves via :func:`member_mask`."""
+    resolve members themselves via :func:`member_mask`.
+
+    Iteration cost on TPU is dominated by the serial
+    vector-reduce → scalar-decide → vector-compare chain, NOT by the
+    compare passes (measured: 16 counts per level cost only ~17% more
+    than 1), so the design minimizes ITERATIONS and keeps each one lean:
+
+    - **Rank-interpolated probes.** The group spans one key-prefix
+      interval; past the first level that interval is narrow enough that
+      any smooth pixel density is locally uniform across it, so the
+      target bucket is almost always ``ĵ ≈ (jhi−jlo+1)·(r−c_lo)/(c_hi−c_lo)``.
+      Each iteration counts four cumulative buckets around ĵ; a probed
+      adjacent pair bracketing ``r`` resolves the level outright, a miss
+      narrows the candidate range ``[jlo, jhi]`` by ≥3 and re-interpolates.
+    - **Min/max contraction.** The same iteration reduces the min/max
+      full key over the surviving window. That (a) terminates the descent
+      the moment all candidates are bit-identical — real uint8-derived
+      fields are duplicate-heavy and otherwise descend all 8 levels —
+      (b) extends the prefix past every newly-common nibble at once, and
+      (c) seeds the next level's ``[jlo, jhi]`` with the true occupied
+      nibble span, so probes never start blind on concentrated data.
+    - All decisions are branch-free scalar selects: a kernel-internal
+      ``lax.cond`` pays for both branches on Mosaic (measured 2.3× the
+      cost of inlining the expensive branch).
+
+    Bit-exact for ANY distribution — probes are exact counts and a missed
+    prediction only costs one extra iteration. Order compares run on the
+    ``x ^ 0x8000_0000`` signed view, order-isomorphic to uint32 at every
+    shift (Mosaic has no unsigned order compares)."""
     n_sel = len(selects)
     state = []
+    iks = []
     for key, rank in selects:
-        prefix0, it0 = _descent_init(key)
-        state.extend([prefix0, rank, it0, jnp.asarray(False)])
+        prefix0, it0, size0, ik_min, ik_max = _descent_init(key)
+        # Clamp into the valid member range: keeps the interpolation
+        # invariant c_lo ≤ r < c_hi (out-of-range ranks now return the
+        # max/min member instead of the old clamped-descent garbage).
+        r0 = jnp.clip(rank, 0, jnp.maximum(size0 - 1, 0))
+        state.extend(
+            [
+                prefix0,
+                r0,
+                it0,
+                (size0 == 0) | (it0 >= 8),  # empty or all-identical
+                jnp.int32(0),  # c_lo: members below bucket jlo
+                size0,  # c_hi: members at/below bucket jhi
+                _nibble_at(ik_min, it0),  # jlo: lowest occupied bucket
+                _nibble_at(ik_max, it0),  # jhi: highest occupied bucket
+            ]
+        )
+        iks.append(_ikey_view(key))  # loop-invariant, hoisted to VMEM
 
     def cond(state):
         alive = jnp.asarray(False)
         for d in range(n_sel):
-            _, _, it, done = state[4 * d : 4 * d + 4]
+            it, done = state[_NS * d + 2], state[_NS * d + 3]
             alive = alive | (jnp.logical_not(done) & (it < 8))
         return alive
 
     def body(state):
         new_state = []
         for d, (key, _rank) in enumerate(selects):
-            prefix, r, it, done = state[4 * d : 4 * d + 4]
+            prefix, r, it, done, c_lo, c_hi, jlo, jhi = state[_NS * d : _NS * d + _NS]
+            ik = iks[d]
             shift = jnp.maximum(28 - 4 * it, 0).astype(jnp.uint32)
             group = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape))
             base = jax.lax.shift_left(prefix, jnp.uint32(4))
-            counts = [
-                jnp.sum((group == (base | jnp.uint32(j))).astype(jnp.int32))
-                for j in range(_B)
+            # Signed order-isomorphic views. base is 16-aligned and base+15
+            # cannot carry into the flipped top bit, so scalar int32 adds
+            # preserve the uint32 order of base|j.
+            igroup = jax.lax.bitcast_convert_type(group ^ jnp.uint32(0x80000000), jnp.int32)
+            ibase = (base ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+
+            # Interpolated probe start: 4 consecutive cums at K..K+3 decide
+            # buckets K+1..K+3 directly, plus K itself when K == jlo.
+            denom = jnp.maximum(c_hi - c_lo, 1)
+            jpred = jlo + (jhi - jlo + 1) * (r - c_lo) // denom
+            k0 = jnp.clip(jpred - 2, jlo, jnp.maximum(jlo, jhi - 3))
+
+            member_ge = igroup >= ibase  # shared lower bound, one pass
+            t = [
+                jnp.sum((member_ge & (igroup <= ibase + (k0 + m))).astype(jnp.int32))
+                for m in range(4)
             ]
-            cums = []
-            cum = jnp.int32(0)
-            for j in range(_B):
-                cum = cum + counts[j]
-                cums.append(cum)
-            bsel = jnp.int32(0)
-            for j in range(_B):
-                bsel = bsel + (cums[j] <= r).astype(jnp.int32)
-            bsel = jnp.minimum(bsel, _B - 1)
-            below = jnp.int32(0)
-            sel_count = counts[0]
-            for j in range(1, _B):
-                below = jnp.where(bsel == j, cums[j - 1], below)
-                sel_count = jnp.where(bsel == j, counts[j], sel_count)
-            new_prefix = base | bsel.astype(jnp.uint32)
+
+            find_low = (r < t[0]) & (k0 == jlo)  # bucket = jlo
+            narrow_hi = (r < t[0]) & (k0 > jlo)  # bucket ≤ k0
+            narrow_lo = r >= t[3]  # bucket > k0+3
+            find = find_low | (r >= t[0]) & (r < t[3])
+
+            off = (
+                (r >= t[0]).astype(jnp.int32)
+                + (r >= t[1]).astype(jnp.int32)
+                + (r >= t[2]).astype(jnp.int32)
+            )  # find_mid ⇒ off ∈ {1,2,3}: bucket k0+off
+            bsel = jnp.where(find_low, jlo, k0 + off)
+            below = jnp.where(
+                find_low,
+                c_lo,
+                jnp.where(off <= 1, t[0], jnp.where(off == 2, t[1], t[2])),
+            )
+            t_at = jnp.where(
+                find_low, t[0], jnp.where(off <= 1, t[1], jnp.where(off == 2, t[2], t[3]))
+            )
+
+            # Narrowed window (identity when this iteration resolves).
+            c_lo_n = jnp.where(narrow_lo, t[3], c_lo)
+            c_hi_n = jnp.where(narrow_hi, t[0], c_hi)
+            jlo_n = jnp.where(narrow_lo, k0 + 4, jlo)
+            jhi_n = jnp.where(narrow_hi, k0, jhi)
+
+            # Min/max full key over the surviving candidates: the resolved
+            # bucket on a find, the narrowed bucket range otherwise. The
+            # rank element always lies inside, so the span is never empty.
+            wlo = jnp.where(find, bsel, jlo_n)
+            whi = jnp.where(find, bsel, jhi_n)
+            wmask = (igroup >= ibase + wlo) & (igroup <= ibase + whi)
+            wmin = jnp.min(jnp.where(wmask, ik, jnp.int32(0x7FFFFFFF)))
+            wmax = jnp.max(jnp.where(wmask, ik, jnp.int32(-0x80000000)))
+            cpfx, cit = _prefix_from_minmax(wmin, wmax)
+
+            # The prefix advances (≥1 nibble) iff the surviving candidates
+            # all share the next nibble — always true on a find, and true
+            # on a narrow that boxed them into one bucket. cit == 8 means
+            # every candidate is bit-identical: done, full-key prefix.
+            adv = jnp.logical_not(done) & (cit > it)
+            below_eff = jnp.where(find, below, c_lo_n)
+            cnt_eff = jnp.where(find, t_at, c_hi_n) - below_eff
             new_state.extend(
                 [
-                    jnp.where(done, prefix, new_prefix),
-                    jnp.where(done, r, r - below),
-                    jnp.where(done, it, it + 1),
-                    done | (sel_count <= 1),
+                    jnp.where(adv, cpfx, prefix),
+                    jnp.where(adv, r - below_eff, r),
+                    jnp.where(adv, cit, it),
+                    done | (adv & (cit >= 8)),
+                    jnp.where(adv, 0, jnp.where(done, c_lo, c_lo_n)),
+                    jnp.where(adv, cnt_eff, jnp.where(done, c_hi, c_hi_n)),
+                    jnp.where(adv, _nibble_at(wmin, cit), jnp.where(done, jlo, jlo_n)),
+                    jnp.where(adv, _nibble_at(wmax, cit), jnp.where(done, jhi, jhi_n)),
                 ]
             )
         return tuple(new_state)
 
     state = jax.lax.while_loop(cond, body, tuple(state))
-    return [(state[4 * d], state[4 * d + 2]) for d in range(n_sel)]
+    return [(state[_NS * d], state[_NS * d + 2]) for d in range(n_sel)]
 
 
 def member_mask(key, prefix, it):
