@@ -147,7 +147,6 @@ def radix_descend_multi(selects):
     shift (Mosaic has no unsigned order compares)."""
     n_sel = len(selects)
     state = []
-    iks = []
     for key, rank in selects:
         prefix0, it0, size0, ik_min, ik_max = _descent_init(key)
         # Clamp into the valid member range: keeps the interpolation
@@ -166,7 +165,10 @@ def radix_descend_multi(selects):
                 _nibble_at(ik_max, it0),  # jhi: highest occupied bucket
             ]
         )
-        iks.append(_ikey_view(key))  # loop-invariant, hoisted to VMEM
+        # NOTE: the full-key signed view used by the min/max contraction is
+        # recomputed per iteration (one xor) rather than hoisted: a hoisted
+        # copy is another P·4 bytes live across the loop, which pushed
+        # 2048² rows past the 120 MB scoped-vmem budget.
 
     def cond(state):
         alive = jnp.asarray(False)
@@ -179,7 +181,7 @@ def radix_descend_multi(selects):
         new_state = []
         for d, (key, _rank) in enumerate(selects):
             prefix, r, it, done, c_lo, c_hi, jlo, jhi = state[_NS * d : _NS * d + _NS]
-            ik = iks[d]
+            ik = _ikey_view(key)
             shift = jnp.maximum(28 - 4 * it, 0).astype(jnp.uint32)
             group = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape))
             base = jax.lax.shift_left(prefix, jnp.uint32(4))
@@ -370,7 +372,7 @@ def kth_smallest_pallas(
         out_shape=jax.ShapeDtypeStruct((rows, k_ranks), jnp.float32),
         interpret=interpret,
         # Above XLA's default 16 MB scoped-vmem budget (v5e has headroom):
-        # a 2048² row plus its key/iota temporaries peaks at a measured
-        # 109 MB and runs fine.
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
+        # a 2048² row plus the descent temporaries peaks at a measured
+        # 127.6 MB — just inside the 128 MB physical VMEM.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
     )(ranks.astype(jnp.int32), x3)
