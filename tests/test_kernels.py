@@ -74,6 +74,57 @@ class TestSelectionKernel:
             assert got[i, 0] == vals[ranks[i, 0]]
             assert got[i, 1] == vals[ranks[i, 1]]
 
+    def test_duplicate_heavy_rows(self):
+        """Quantized values (uint8-derived fields): descents must stay
+        bit-exact when the rank element sits inside a large bit-identical
+        cluster, which the min/max contraction exits early on."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.selection import kth_smallest_pallas
+
+        rng = np.random.default_rng(5)
+        x = np.round(rng.standard_normal((3, 8192)) * 8).astype(np.float32) / 8
+        ranks = np.array([[82, 8100], [0, 8191], [4000, 4001]], np.int32)
+        got = np.asarray(kth_smallest_pallas(jnp.asarray(x), jnp.asarray(ranks), interpret=True))
+        srt = np.sort(x, axis=1)
+        for i in range(3):
+            for k in range(2):
+                assert got[i, k] == srt[i, ranks[i, k]]
+
+    def test_all_identical_and_tiny_spread(self):
+        """All-identical rows resolve at init (full-prefix exit); rows whose
+        values differ only in the last mantissa nibble exercise the deep
+        prefix-skip path."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.selection import kth_smallest_pallas
+
+        base = np.float32(0.7182818)
+        row0 = np.full(2048, base, np.float32)
+        ulp = np.spacing(base).astype(np.float32)
+        row1 = base + ulp * np.tile(np.arange(4, dtype=np.float32), 512)
+        x = np.stack([row0, row1])
+        ranks = np.array([[0, 2047], [512, 1536]], np.int32)
+        got = np.asarray(kth_smallest_pallas(jnp.asarray(x), jnp.asarray(ranks), interpret=True))
+        srt = np.sort(x, axis=1)
+        for i in range(2):
+            for k in range(2):
+                assert got[i, k] == srt[i, ranks[i, k]]
+
+    def test_out_of_range_rank_clamps(self):
+        """Ranks ≥ #valid clamp to the max member (defined behavior since
+        the interpolated descent; the old code returned sentinel garbage)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.selection import kth_smallest_pallas
+
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal((1, 1000)).astype(np.float32)
+        xs = np.concatenate([x, np.full((1, 24), np.inf, np.float32)], axis=1)
+        ranks = np.array([[1010, 1023]], np.int32)  # beyond the 1000 valid
+        got = np.asarray(kth_smallest_pallas(jnp.asarray(xs), jnp.asarray(ranks), interpret=True))
+        assert got[0, 0] == got[0, 1] == x.max()
+
     def test_macenko_pallas_path_matches_xla(self):
         from stainx_tpu.ops import macenko as mk
 
