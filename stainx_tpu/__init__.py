@@ -18,7 +18,7 @@ A from-scratch re-design of the StainX API (reference: rendeirolab/stainx,
 from stainx_tpu.normalizers import HistogramMatching, Macenko, Reinhard
 from stainx_tpu.transforms import StainNormalizerTransform
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "HistogramMatching",
