@@ -112,7 +112,26 @@ def _nibble_at(ik, it):
 _NS = 8  # scalars of while-carry per descent
 
 
-def radix_descend_multi(selects):
+# Descent-contraction strategy (module default; micro-benchable per call):
+#   "dep"   — round-1 form: min/max over the decided window, a second
+#             dependent vector→scalar sync per iteration.
+#   "spec6" — min/max for all six candidate windows speculatively in the
+#             counts' vector phase, scalar-pick after: one sync/iteration.
+#   "spec4" — speculate only the four find windows (single buckets);
+#             narrows advance without contraction.
+#   "nocon" — no contraction at all: advance one nibble per find, early
+#             exit only on a singleton bucket.
+#   "defer" — deferred contraction: each iteration reduces min/max over
+#             the CURRENT candidate range in the counts' vector phase
+#             (2 extra reduces, same sync). A find advances one nibble;
+#             the next iteration's min/max then skips every newly-common
+#             nibble at once, terminates bit-identical groups, and
+#             tightens the probe span — the dep contraction's three
+#             benefits one iteration later, without its second sync.
+DESCENT_MODE = "dep"
+
+
+def radix_descend_multi(selects, mode: str | None = None):
     """The fused descent of :func:`radix_select_multi` without the field
     resolution: returns per-descent ``(prefix, it)`` — the consumed key
     prefix and its nibble length. Callers with lazily-recomputed fields
@@ -137,6 +156,19 @@ def radix_descend_multi(selects):
       (b) extends the prefix past every newly-common nibble at once, and
       (c) seeds the next level's ``[jlo, jhi]`` with the true occupied
       nibble span, so probes never start blind on concentrated data.
+    - **Speculative windows — ONE sync per iteration.** The surviving
+      window the contraction must scan is decided by the counts, but it
+      is always one of six candidates whose bucket bounds are scalars
+      already in hand when the iteration starts: bucket ``jlo``
+      (find-low), buckets ``k0+1..k0+3`` (interpolated find),
+      ``[jlo, k0]`` (narrow-high), ``[k0+4, jhi]`` (narrow-low). All six
+      min/max pairs reduce in the same vector phase as the counts and
+      scalar selects pick the real one afterwards, so an iteration pays a
+      single vector-reduce→scalar round trip. The earlier dependent form
+      (window mask computed from the counts) cost a second ~5 µs sync per
+      iteration at 512²; the 12 extra speculative reduces cost ~1–2 µs
+      (reduce passes are cheap next to the sync — see the 16-vs-1 count
+      measurement above).
     - All decisions are branch-free scalar selects: a kernel-internal
       ``lax.cond`` pays for both branches on Mosaic (measured 2.3× the
       cost of inlining the expensive branch).
@@ -145,6 +177,8 @@ def radix_descend_multi(selects):
     prediction only costs one extra iteration. Order compares run on the
     ``x ^ 0x8000_0000`` signed view, order-isomorphic to uint32 at every
     shift (Mosaic has no unsigned order compares)."""
+    if mode is None:
+        mode = DESCENT_MODE
     n_sel = len(selects)
     state = []
     for key, rank in selects:
@@ -198,10 +232,38 @@ def radix_descend_multi(selects):
             k0 = jnp.clip(jpred - 2, jlo, jnp.maximum(jlo, jhi - 3))
 
             member_ge = igroup >= ibase  # shared lower bound, one pass
-            t = [
-                jnp.sum((member_ge & (igroup <= ibase + (k0 + m))).astype(jnp.int32))
-                for m in range(4)
-            ]
+            le = [igroup <= ibase + (k0 + m) for m in range(4)]
+            t = [jnp.sum((member_ge & le[m]).astype(jnp.int32)) for m in range(4)]
+
+            if mode in ("spec6", "spec4"):
+                # Speculative min/max over the windows this level's decision
+                # can leave behind (single-sync iteration — see docstring).
+                # Bounds use the candidate-range [jlo, jhi], not mere group
+                # membership: after a narrow, group members OUTSIDE the
+                # candidate range still exist and must not leak in.
+                ge_jlo = igroup >= ibase + jlo
+                not_le = [jnp.logical_not(le[m]) for m in range(4)]
+                wins = [
+                    ge_jlo & (igroup <= ibase + jlo),  # bucket jlo (find_low)
+                    le[1] & not_le[0],  # bucket k0+1 (find, off == 1)
+                    le[2] & not_le[1],  # bucket k0+2 (find, off == 2)
+                    le[3] & not_le[2],  # bucket k0+3 (find, off == 3)
+                ]
+                if mode == "spec6":
+                    le_jhi = igroup <= ibase + jhi
+                    wins += [
+                        ge_jlo & le[0],  # [jlo, k0]    (narrow_hi)
+                        le_jhi & not_le[3],  # [k0+4, jhi]  (narrow_lo)
+                    ]
+                mins = [jnp.min(jnp.where(w, ik, jnp.int32(0x7FFFFFFF))) for w in wins]
+                maxs = [jnp.max(jnp.where(w, ik, jnp.int32(-0x80000000))) for w in wins]
+
+            if mode == "defer":
+                # Min/max over the CURRENT candidate range, same sync as
+                # the counts (see DESCENT_MODE notes).
+                cand = (igroup >= ibase + jlo) & (igroup <= ibase + jhi)
+                gmin = jnp.min(jnp.where(cand, ik, jnp.int32(0x7FFFFFFF)))
+                gmax = jnp.max(jnp.where(cand, ik, jnp.int32(-0x80000000)))
 
             find_low = (r < t[0]) & (k0 == jlo)  # bucket = jlo
             narrow_hi = (r < t[0]) & (k0 > jlo)  # bucket ≤ k0
@@ -229,14 +291,114 @@ def radix_descend_multi(selects):
             jlo_n = jnp.where(narrow_lo, k0 + 4, jlo)
             jhi_n = jnp.where(narrow_hi, k0, jhi)
 
-            # Min/max full key over the surviving candidates: the resolved
-            # bucket on a find, the narrowed bucket range otherwise. The
-            # rank element always lies inside, so the span is never empty.
-            wlo = jnp.where(find, bsel, jlo_n)
-            whi = jnp.where(find, bsel, jhi_n)
-            wmask = (igroup >= ibase + wlo) & (igroup <= ibase + whi)
-            wmin = jnp.min(jnp.where(wmask, ik, jnp.int32(0x7FFFFFFF)))
-            wmax = jnp.max(jnp.where(wmask, ik, jnp.int32(-0x80000000)))
+            if mode == "defer":
+                # Skip: every candidate shares ≥1 more nibble than the
+                # consumed prefix — advance straight to the common prefix
+                # (the counts this iteration are stale; the skip's advance
+                # subsumes anything they would have decided). The new group
+                # IS the candidate set: candidacy is a bucket range, and a
+                # shared level-`it` nibble puts every group member of that
+                # bucket inside it.
+                cpfx0, cit0 = _prefix_from_minmax(gmin, gmax)
+                skip = jnp.logical_not(done) & (cit0 > it)
+                # No skip: the min/max still tightens the current-level
+                # probe span to the truly occupied nibbles.
+                tlo = _nibble_at(gmin, it)
+                thi = _nibble_at(gmax, it)
+                # Find: advance exactly one nibble (contraction of the new
+                # group lands next iteration).
+                cnt_f = t_at - below
+                cpfx_f = jax.lax.shift_left(prefix, jnp.uint32(4)) | bsel.astype(
+                    jnp.uint32
+                )
+                adv_f = jnp.logical_not(done) & jnp.logical_not(skip) & find
+                keep = jnp.logical_not(skip) & jnp.logical_not(adv_f)
+                new_state.extend(
+                    [
+                        jnp.where(skip, cpfx0, jnp.where(adv_f, cpfx_f, prefix)),
+                        jnp.where(skip, r - c_lo, jnp.where(adv_f, r - below, r)),
+                        jnp.where(skip, cit0, jnp.where(adv_f, it + 1, it)),
+                        done
+                        | (skip & (cit0 >= 8))
+                        | (adv_f & ((it + 1 >= 8) | (cnt_f <= 1))),
+                        jnp.where(keep, jnp.where(done, c_lo, c_lo_n), 0),
+                        jnp.where(
+                            skip,
+                            c_hi - c_lo,
+                            jnp.where(adv_f, cnt_f, jnp.where(done, c_hi, c_hi_n)),
+                        ),
+                        jnp.where(
+                            skip,
+                            _nibble_at(gmin, cit0),
+                            jnp.where(
+                                adv_f,
+                                0,
+                                jnp.where(done, jlo, jnp.maximum(jlo_n, tlo)),
+                            ),
+                        ),
+                        jnp.where(
+                            skip,
+                            _nibble_at(gmax, cit0),
+                            jnp.where(
+                                adv_f,
+                                15,
+                                jnp.where(done, jhi, jnp.minimum(jhi_n, thi)),
+                            ),
+                        ),
+                    ]
+                )
+                continue
+
+            if mode == "nocon":
+                # No contraction: a find advances exactly one nibble (the
+                # found bucket), early exit only when it holds one member
+                # (or the full key is consumed); next level's probe span
+                # starts blind at [0, 15].
+                cnt_f = t_at - below
+                cpfx = jax.lax.shift_left(prefix, jnp.uint32(4)) | bsel.astype(jnp.uint32)
+                cit = it + 1
+                adv = jnp.logical_not(done) & find
+                new_state.extend(
+                    [
+                        jnp.where(adv, cpfx, prefix),
+                        jnp.where(adv, r - below, r),
+                        jnp.where(adv, cit, it),
+                        done | (adv & ((cit >= 8) | (cnt_f <= 1))),
+                        jnp.where(adv, 0, jnp.where(done, c_lo, c_lo_n)),
+                        jnp.where(adv, cnt_f, jnp.where(done, c_hi, c_hi_n)),
+                        jnp.where(adv, 0, jnp.where(done, jlo, jlo_n)),
+                        jnp.where(adv, 15, jnp.where(done, jhi, jhi_n)),
+                    ]
+                )
+                continue
+
+            if mode == "dep":
+                # Dependent min/max over the decided window — a second
+                # vector→scalar sync; the rank element always lies inside,
+                # so the span is never empty.
+                wlo = jnp.where(find, bsel, jlo_n)
+                whi = jnp.where(find, bsel, jhi_n)
+                wmask = (igroup >= ibase + wlo) & (igroup <= ibase + whi)
+                wmin = jnp.min(jnp.where(wmask, ik, jnp.int32(0x7FFFFFFF)))
+                wmax = jnp.max(jnp.where(wmask, ik, jnp.int32(-0x80000000)))
+            else:
+                # Pick the surviving window's (min, max) from the
+                # speculative pairs — pure scalar selects.
+                def pick(v):
+                    v_find = jnp.where(
+                        find_low,
+                        v[0],
+                        jnp.where(off <= 1, v[1], jnp.where(off == 2, v[2], v[3])),
+                    )
+                    if mode == "spec6":
+                        return jnp.where(
+                            find, v_find, jnp.where(narrow_hi, v[4], v[5])
+                        )
+                    return v_find  # spec4: only valid on a find
+
+                wmin = pick(mins)
+                wmax = pick(maxs)
+
             cpfx, cit = _prefix_from_minmax(wmin, wmax)
 
             # The prefix advances (≥1 nibble) iff the surviving candidates
@@ -244,6 +406,8 @@ def radix_descend_multi(selects):
             # on a narrow that boxed them into one bucket. cit == 8 means
             # every candidate is bit-identical: done, full-key prefix.
             adv = jnp.logical_not(done) & (cit > it)
+            if mode == "spec4":
+                adv = adv & find  # narrow windows were not speculated
             below_eff = jnp.where(find, below, c_lo_n)
             cnt_eff = jnp.where(find, t_at, c_hi_n) - below_eff
             new_state.extend(
@@ -264,6 +428,139 @@ def radix_descend_multi(selects):
     return [(state[_NS * d], state[_NS * d + 2]) for d in range(n_sel)]
 
 
+def interval_descend_multi(selects, n_cuts: int = 4):
+    """Fused rank selection by **interval descent** on the signed key view:
+    interpolation search with a bisection guarantee, no radix structure.
+
+    Each descent carries 5 scalars ``(klo, khi, r, n, done)`` — an inclusive
+    value interval in ik space, the rank within its members, and the member
+    count. Per iteration (ONE vector→scalar round trip):
+
+    - scalar phase picks ``n_cuts`` cut points: a rank-interpolated cluster
+      ``ĉ ± span/16`` (locally-uniform pixel densities put the rank there)
+      plus the interval midpoint (guarantees ≥ halving ⇒ ≤ 32 iterations
+      worst case), sorted by a scalar min/max network;
+    - vector phase counts members at/below every cut (fused masked sums —
+      measured ~free next to the traversal) and reduces the members'
+      min/max (the contraction: exits bit-identical clusters, and snaps the
+      chosen sub-interval's OUTER bounds to occupied values — for the 1st/
+      99th-percentile ranks the chosen sub-interval is usually an end one,
+      so an end snaps to an exact data value every iteration);
+    - scalar phase descends into the sub-interval holding the rank.
+
+    vs the radix descent: no per-iteration shift/xor/bitcast passes (ik is
+    hoisted — computed once per call), narrowing is value-resolution
+    rather than nibble-resolution, and iteration cost is the same single
+    sync. Bit-exact: counts are exact, cuts are only probes, and the
+    terminal ``klo == khi`` means every member is bit-identical.
+
+    Returns per-descent ``(ik, klo)`` — resolve members with ``ik == klo``.
+    """
+    _I32MAX = jnp.int32(0x7FFFFFFF)
+    _I32MIN = jnp.int32(-0x80000000)
+    n_sel = len(selects)
+    iks = []
+    state = []
+    for key, rank in selects:
+        ik = _ikey_view(key)
+        valid = key != jnp.uint32(_SENTINEL_KEY)
+        n0 = jnp.sum(valid.astype(jnp.int32))
+        klo0 = jnp.min(jnp.where(valid, ik, _I32MAX))
+        khi0 = jnp.max(jnp.where(valid, ik, _I32MIN))
+        r0 = jnp.clip(rank, 0, jnp.maximum(n0 - 1, 0))
+        iks.append(ik)
+        state.extend([klo0, khi0, r0, n0, (n0 == 0) | (klo0 == khi0)])
+
+    _S = 5
+
+    def cond(state):
+        alive = jnp.asarray(False)
+        for d in range(n_sel):
+            alive = alive | jnp.logical_not(state[_S * d + 4])
+        return alive
+
+    def _sort4(a, b, c, d):
+        s1, s2 = jnp.minimum(a, b), jnp.maximum(a, b)
+        s3, s4 = jnp.minimum(c, d), jnp.maximum(c, d)
+        lo = jnp.minimum(s1, s3)
+        hi = jnp.maximum(s2, s4)
+        m1, m2 = jnp.maximum(s1, s3), jnp.minimum(s2, s4)
+        return lo, jnp.minimum(m1, m2), jnp.maximum(m1, m2), hi
+
+    def body(state):
+        new_state = []
+        for d in range(n_sel):
+            klo, khi, r, n, done = state[_S * d : _S * d + _S]
+            ik = iks[d]
+
+            # --- scalar phase: cut points ---------------------------------
+            fklo = klo.astype(jnp.float32)
+            fkhi = khi.astype(jnp.float32)
+            span = fkhi - fklo
+            frac = r.astype(jnp.float32) / jnp.maximum(n.astype(jnp.float32), 1.0)
+            c_hat = fklo + span * frac
+            w = span * 0.0625
+            # Safe signed floor-midpoint (khi - klo may overflow int32).
+            mid = (klo >> 1) + (khi >> 1) + (klo & khi & jnp.int32(1))
+
+            def toi(x):
+                return jnp.clip(
+                    jnp.clip(x, fklo, fkhi).astype(jnp.int32), klo, khi - 1
+                )
+
+            cuts = list(_sort4(toi(c_hat - w), toi(c_hat), toi(c_hat + w), mid))
+
+            # --- vector phase: counts + contraction, one sync -------------
+            member = (ik >= klo) & (ik <= khi)
+            cnt = [jnp.sum((member & (ik <= c)).astype(jnp.int32)) for c in cuts]
+            gmin = jnp.min(jnp.where(member, ik, _I32MAX))
+            gmax = jnp.max(jnp.where(member, ik, _I32MIN))
+
+            # --- scalar phase: descend ------------------------------------
+            j = (
+                (r >= cnt[0]).astype(jnp.int32)
+                + (r >= cnt[1]).astype(jnp.int32)
+                + (r >= cnt[2]).astype(jnp.int32)
+                + (r >= cnt[3]).astype(jnp.int32)
+            )  # sub-interval 0..4
+            lo_raw = jnp.where(
+                j == 0,
+                klo,
+                jnp.where(
+                    j == 1,
+                    cuts[0] + 1,
+                    jnp.where(j == 2, cuts[1] + 1, jnp.where(j == 3, cuts[2] + 1, cuts[3] + 1)),
+                ),
+            )
+            hi_raw = jnp.where(
+                j == 0,
+                cuts[0],
+                jnp.where(j == 1, cuts[1], jnp.where(j == 2, cuts[2], jnp.where(j == 3, cuts[3], khi))),
+            )
+            below = jnp.where(
+                j == 0, 0, jnp.where(j == 1, cnt[0], jnp.where(j == 2, cnt[1], jnp.where(j == 3, cnt[2], cnt[3])))
+            )
+            at = jnp.where(
+                j == 0, cnt[0], jnp.where(j == 1, cnt[1], jnp.where(j == 2, cnt[2], jnp.where(j == 3, cnt[3], n)))
+            )
+            # Contraction snap: members all lie in [gmin, gmax].
+            lo_n = jnp.maximum(lo_raw, gmin)
+            hi_n = jnp.minimum(hi_raw, gmax)
+            new_state.extend(
+                [
+                    jnp.where(done, klo, lo_n),
+                    jnp.where(done, khi, hi_n),
+                    jnp.where(done, r, r - below),
+                    jnp.where(done, n, at - below),
+                    done | (lo_n >= hi_n),
+                ]
+            )
+        return tuple(new_state)
+
+    state = jax.lax.while_loop(cond, body, tuple(state))
+    return [(iks[d], state[_S * d]) for d in range(n_sel)]
+
+
 def member_mask(key, prefix, it):
     """Membership of the descent's final group: keys sharing the consumed
     ``4·it``-bit prefix (it ≥ 1 always — the first level always runs)."""
@@ -271,13 +568,19 @@ def member_mask(key, prefix, it):
     return jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape)) == prefix
 
 
-def radix_select_multi(selects):
+def radix_select_multi(selects, keyed: bool = False, mode: str | None = None):
     """Run several radix descents in ONE while loop.
 
     ``selects``: list of ``(key, rank, fields)`` — ``key`` uint32 monotone
     in the values (masked elements = sentinel), ``rank`` scalar int32,
     ``fields`` a tuple of key-shaped arrays to read at the rank element.
     Returns a list (one per descent) of lists of selected field scalars.
+
+    ``keyed=True`` declares that every field IS the keyed value (``key ==
+    _monotone_key(field)``). Key-identical members are then bit-identical
+    in the field (the monotone map is a bijection), so the member-index
+    round trip is skipped: one ``max`` reduce over the member mask reads
+    the value — saving a vector→scalar sync per select.
 
     Why fused: each radix level ends in a vector→scalar→vector round trip
     (bucket counts → bucket choice → next level's compares). That serial
@@ -299,14 +602,28 @@ def radix_select_multi(selects):
     member with the smallest linear index supplies EVERY field, so
     multi-field reads (the φ kernels' (cos, sin) pairs) always come from
     one actual pixel (round-1 advisor finding)."""
-    descended = radix_descend_multi([(key, rank) for key, rank, _fields in selects])
+    if mode is None:
+        mode = DESCENT_MODE
+    if mode == "interval":
+        descended = interval_descend_multi([(key, rank) for key, rank, _f in selects])
+        members = [ik == klo for ik, klo in descended]
+    else:
+        radix = radix_descend_multi(
+            [(key, rank) for key, rank, _fields in selects], mode=mode
+        )
+        members = [
+            member_mask(key, prefix, it)
+            for (key, _r, _f), (prefix, it) in zip(selects, radix)
+        ]
 
     results = []
-    for (key, _rank, fields), (prefix, it) in zip(selects, descended):
-        # After early exit the member set is a single element; after a full
-        # 8 levels it is key-identical duplicates — either way every member
-        # holds the rank value.
-        member = member_mask(key, prefix, it)
+    for (key, _rank, fields), member in zip(selects, members):
+        # After early exit the member set is a single element; otherwise it
+        # is key-identical duplicates — either way every member holds the
+        # rank value.
+        if keyed:
+            results.append([jnp.max(jnp.where(member, f, -jnp.inf)) for f in fields])
+            continue
         s, lane = key.shape
         idx = jax.lax.broadcasted_iota(jnp.int32, (s, lane), 0) * lane + (
             jax.lax.broadcasted_iota(jnp.int32, (s, lane), 1)
@@ -328,7 +645,9 @@ def _select_kernel(ranks_ref, x_ref, out_ref, *, k_ranks: int):
     key = _monotone_key(x)
 
     # All K ranks descend in one fused loop (one level round-trip for all).
-    results = radix_select_multi([(key, ranks_ref[i, k], (x,)) for k in range(k_ranks)])
+    results = radix_select_multi(
+        [(key, ranks_ref[i, k], (x,)) for k in range(k_ranks)], keyed=True
+    )
     for k in range(k_ranks):
         out_ref[i, k] = results[k][0]
 

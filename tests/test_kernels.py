@@ -125,6 +125,37 @@ class TestSelectionKernel:
         got = np.asarray(kth_smallest_pallas(jnp.asarray(xs), jnp.asarray(ranks), interpret=True))
         assert got[0, 0] == got[0, 1] == x.max()
 
+    @pytest.mark.parametrize("mode", ["dep", "spec6", "spec4", "nocon", "defer", "interval"])
+    def test_descent_modes_bit_exact(self, mode):
+        """Every contraction strategy (dep / speculative / none) is the same
+        bit-exact selection — the strategies trade sync latency for vector
+        work, never correctness. Covers smooth, duplicate-heavy, masked and
+        out-of-range-rank rows."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.selection import _monotone_key, radix_select_multi
+
+        rng = np.random.default_rng(11)
+        rows = [
+            rng.standard_normal(4096).astype(np.float32),
+            np.round(rng.standard_normal(4096) * 8).astype(np.float32) / 8,
+            np.where(rng.random(4096) < 0.5, rng.standard_normal(4096), np.inf).astype(
+                np.float32
+            ),
+            np.full(4096, np.float32(1.5)),
+        ]
+        ranks = [40, 4000, 0, 4095, 1000, 2048]
+        for x in rows:
+            valid = np.sort(x[np.isfinite(x)])
+            key = _monotone_key(jnp.asarray(x.reshape(32, 128)))
+            sels = [
+                (key, jnp.int32(r), (jnp.asarray(x.reshape(32, 128)),)) for r in ranks
+            ]
+            got = radix_select_multi(sels, keyed=True, mode=mode)
+            for r, (val,) in zip(ranks, got):
+                expected = valid[min(r, len(valid) - 1)] if len(valid) else np.inf
+                assert float(val) == expected, (mode, r)
+
     def test_macenko_pallas_path_matches_xla(self):
         from stainx_tpu.ops import macenko as mk
 
