@@ -128,7 +128,28 @@ _NS = 8  # scalars of while-carry per descent
 #             nibble at once, terminates bit-identical groups, and
 #             tightens the probe span — the dep contraction's three
 #             benefits one iteration later, without its second sync.
-DESCENT_MODE = "dep"
+#   "interval"/"interval8" — radix-free interpolation+bisection search on
+#             the signed key view (see interval_descend_multi), 4 or 8
+#             cuts per iteration.
+#   "auto"  — size-dependent: small rows are SYNC-bound (the interval
+#             descent's single round trip per iteration wins); large rows
+#             are PASS-bound (dep's lean iterations win). Crossover
+#             measured on v5e (benchmarks/descent_ablation.py): 224² the
+#             interval form is +14%, 512² dep is +3%.
+DESCENT_MODE = "auto"
+
+# Rows at or below this many elements select the interval descent under
+# "auto"; larger rows use "dep". Measured on v5e (MPix/s, interval vs
+# dep): 224² 2985/2608, 256² 3108/2721, 320² 3180/3423, 512² 3351/3459 —
+# crossover between 256² and 320²; the threshold stays at the largest
+# proven-winning size.
+AUTO_INTERVAL_MAX_ELEMS = 65536
+
+
+def _resolve_auto(mode: str, row_elems: int) -> str:
+    if mode != "auto":
+        return mode
+    return "interval" if row_elems <= AUTO_INTERVAL_MAX_ELEMS else "dep"
 
 
 def radix_descend_multi(selects, mode: str | None = None):
@@ -179,6 +200,11 @@ def radix_descend_multi(selects, mode: str | None = None):
     shift (Mosaic has no unsigned order compares)."""
     if mode is None:
         mode = DESCENT_MODE
+    if selects:
+        k0 = selects[0][0]
+        mode = _resolve_auto(mode, int(k0.shape[0]) * int(k0.shape[1]))
+    if mode.startswith("interval"):
+        raise ValueError("interval modes live in interval_descend_multi")
     n_sel = len(selects)
     state = []
     for key, rank in selects:
@@ -479,13 +505,17 @@ def interval_descend_multi(selects, n_cuts: int = 4):
             alive = alive | jnp.logical_not(state[_S * d + 4])
         return alive
 
-    def _sort4(a, b, c, d):
-        s1, s2 = jnp.minimum(a, b), jnp.maximum(a, b)
-        s3, s4 = jnp.minimum(c, d), jnp.maximum(c, d)
-        lo = jnp.minimum(s1, s3)
-        hi = jnp.maximum(s2, s4)
-        m1, m2 = jnp.maximum(s1, s3), jnp.minimum(s2, s4)
-        return lo, jnp.minimum(m1, m2), jnp.maximum(m1, m2), hi
+    def _sort_scalars(vals):
+        # Odd-even transposition network — pure scalar min/max, trivially
+        # cheap next to a row pass.
+        vals = list(vals)
+        k = len(vals)
+        for rnd in range(k):
+            start = rnd & 1
+            for i in range(start, k - 1, 2):
+                a, b = vals[i], vals[i + 1]
+                vals[i], vals[i + 1] = jnp.minimum(a, b), jnp.maximum(a, b)
+        return vals
 
     def body(state):
         new_state = []
@@ -508,7 +538,23 @@ def interval_descend_multi(selects, n_cuts: int = 4):
                     jnp.clip(x, fklo, fkhi).astype(jnp.int32), klo, khi - 1
                 )
 
-            cuts = list(_sort4(toi(c_hat - w), toi(c_hat), toi(c_hat + w), mid))
+            if n_cuts == 4:
+                raw = [toi(c_hat - w), toi(c_hat), toi(c_hat + w), mid]
+            else:
+                # Interp cluster + a quantile ladder (midpoint included —
+                # the bisection guarantee).
+                raw = [
+                    toi(c_hat - 3.0 * w),
+                    toi(c_hat - w),
+                    toi(c_hat),
+                    toi(c_hat + w),
+                    toi(c_hat + 3.0 * w),
+                    toi(fklo + span * 0.25),
+                    mid,
+                    toi(fklo + span * 0.75),
+                ]
+            cuts = _sort_scalars(raw)
+            nc = len(cuts)
 
             # --- vector phase: counts + contraction, one sync -------------
             member = (ik >= klo) & (ik <= khi)
@@ -517,32 +563,15 @@ def interval_descend_multi(selects, n_cuts: int = 4):
             gmax = jnp.max(jnp.where(member, ik, _I32MIN))
 
             # --- scalar phase: descend ------------------------------------
-            j = (
-                (r >= cnt[0]).astype(jnp.int32)
-                + (r >= cnt[1]).astype(jnp.int32)
-                + (r >= cnt[2]).astype(jnp.int32)
-                + (r >= cnt[3]).astype(jnp.int32)
-            )  # sub-interval 0..4
-            lo_raw = jnp.where(
-                j == 0,
-                klo,
-                jnp.where(
-                    j == 1,
-                    cuts[0] + 1,
-                    jnp.where(j == 2, cuts[1] + 1, jnp.where(j == 3, cuts[2] + 1, cuts[3] + 1)),
-                ),
-            )
-            hi_raw = jnp.where(
-                j == 0,
-                cuts[0],
-                jnp.where(j == 1, cuts[1], jnp.where(j == 2, cuts[2], jnp.where(j == 3, cuts[3], khi))),
-            )
-            below = jnp.where(
-                j == 0, 0, jnp.where(j == 1, cnt[0], jnp.where(j == 2, cnt[1], jnp.where(j == 3, cnt[2], cnt[3])))
-            )
-            at = jnp.where(
-                j == 0, cnt[0], jnp.where(j == 1, cnt[1], jnp.where(j == 2, cnt[2], jnp.where(j == 3, cnt[3], n)))
-            )
+            j = sum(((r >= cnt[m]).astype(jnp.int32) for m in range(nc)), jnp.int32(0))
+            lo_raw, hi_raw = klo, cuts[0]
+            below, at = jnp.int32(0), cnt[0]
+            for m in range(1, nc + 1):
+                is_j = j == m
+                lo_raw = jnp.where(is_j, cuts[m - 1] + 1, lo_raw)
+                hi_raw = jnp.where(is_j, cuts[m] if m < nc else khi, hi_raw)
+                below = jnp.where(is_j, cnt[m - 1], below)
+                at = jnp.where(is_j, cnt[m] if m < nc else n, at)
             # Contraction snap: members all lie in [gmin, gmax].
             lo_n = jnp.maximum(lo_raw, gmin)
             hi_n = jnp.minimum(hi_raw, gmax)
@@ -604,8 +633,14 @@ def radix_select_multi(selects, keyed: bool = False, mode: str | None = None):
     one actual pixel (round-1 advisor finding)."""
     if mode is None:
         mode = DESCENT_MODE
-    if mode == "interval":
-        descended = interval_descend_multi([(key, rank) for key, rank, _f in selects])
+    if selects:
+        k0 = selects[0][0]
+        mode = _resolve_auto(mode, int(k0.shape[0]) * int(k0.shape[1]))
+    if mode.startswith("interval"):
+        n_cuts = int(mode[len("interval") :] or 4)
+        descended = interval_descend_multi(
+            [(key, rank) for key, rank, _f in selects], n_cuts=n_cuts
+        )
         members = [ik == klo for ik, klo in descended]
     else:
         radix = radix_descend_multi(

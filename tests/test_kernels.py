@@ -125,7 +125,9 @@ class TestSelectionKernel:
         got = np.asarray(kth_smallest_pallas(jnp.asarray(xs), jnp.asarray(ranks), interpret=True))
         assert got[0, 0] == got[0, 1] == x.max()
 
-    @pytest.mark.parametrize("mode", ["dep", "spec6", "spec4", "nocon", "defer", "interval"])
+    @pytest.mark.parametrize(
+        "mode", ["dep", "spec6", "spec4", "nocon", "defer", "interval", "interval8"]
+    )
     def test_descent_modes_bit_exact(self, mode):
         """Every contraction strategy (dep / speculative / none) is the same
         bit-exact selection — the strategies trade sync latency for vector
