@@ -131,6 +131,10 @@ _NS = 8  # scalars of while-carry per descent
 #   "interval"/"interval8" — radix-free interpolation+bisection search on
 #             the signed key view (see interval_descend_multi), 4 or 8
 #             cuts per iteration.
+#   "ikdep" — dep's exact algorithm, but every compare runs on a HOISTED
+#             signed-key array against scalar key-space bucket bounds:
+#             no per-iteration group shift, igroup xor, or ik recompute —
+#             ~3 fewer row passes per iteration where passes dominate.
 #   "auto"  — size-dependent: small rows are SYNC-bound (the interval
 #             descent's single round trip per iteration wins); large rows
 #             are PASS-bound (dep's lean iterations win). Crossover
@@ -138,18 +142,23 @@ _NS = 8  # scalars of while-carry per descent
 #             interval form is +14%, 512² dep is +3%.
 DESCENT_MODE = "auto"
 
-# Rows at or below this many elements select the interval descent under
-# "auto"; larger rows use "dep". Measured on v5e (MPix/s, interval vs
-# dep): 224² 2985/2608, 256² 3108/2721, 320² 3180/3423, 512² 3351/3459 —
-# crossover between 256² and 320²; the threshold stays at the largest
-# proven-winning size.
+# Auto ladder thresholds, measured on v5e (benchmarks/descent_ablation):
+# - interval vs dep MPix/s: 224² 2985/2608, 256² 3108/2721, 320² 3180/3423,
+#   512² 3351/3459 — sync-bound small rows go to interval, crossover
+#   between 256² and 320²; threshold at the largest proven-winning size.
+# - ikdep vs dep at 512²: 3691/3582 (+3%, fewer row passes). ikdep hoists
+#   a P·4 B signed-key copy per descent, which the 2048² staged-path rows
+#   cannot afford on top of their 127.6 MB peak — huge rows stay on dep.
 AUTO_INTERVAL_MAX_ELEMS = 65536
+AUTO_IKDEP_MAX_ELEMS = 1_310_720  # mega-kernel row ceiling (1280×1024)
 
 
 def _resolve_auto(mode: str, row_elems: int) -> str:
     if mode != "auto":
         return mode
-    return "interval" if row_elems <= AUTO_INTERVAL_MAX_ELEMS else "dep"
+    if row_elems <= AUTO_INTERVAL_MAX_ELEMS:
+        return "interval"
+    return "ikdep" if row_elems <= AUTO_IKDEP_MAX_ELEMS else "dep"
 
 
 def radix_descend_multi(selects, mode: str | None = None):
@@ -237,10 +246,109 @@ def radix_descend_multi(selects, mode: str | None = None):
             alive = alive | (jnp.logical_not(done) & (it < 8))
         return alive
 
+    # ikdep hoists the signed-key views out of the loop (loop-invariant;
+    # +P·4 B VMEM per descent — the auto ladder keeps huge rows on dep,
+    # whose in-loop recompute stays within the 2048² scoped-vmem budget).
+    iks_hoisted = [_ikey_view(key) for key, _ in selects] if mode == "ikdep" else None
+
     def body(state):
         new_state = []
         for d, (key, _rank) in enumerate(selects):
             prefix, r, it, done, c_lo, c_hi, jlo, jhi = state[_NS * d : _NS * d + _NS]
+
+            if mode == "ikdep":
+                ik = iks_hoisted[d]
+                # Scalar key-space bucket bounds (uint32 arithmetic, then
+                # the ^0x8000_0000 signed order view — no vector shifts,
+                # no igroup materialization).
+                it1 = jnp.maximum(it, 1)
+                base = jnp.where(
+                    it == 0,
+                    jnp.uint32(0),
+                    jax.lax.shift_left(prefix, (32 - 4 * it1).astype(jnp.uint32)),
+                )
+                step_shift = (28 - 4 * jnp.minimum(it, jnp.int32(7))).astype(jnp.uint32)
+                step = jax.lax.shift_left(jnp.uint32(1), step_shift)
+                # 16·step − 1; at it == 0 the shift wraps 16·2²⁸ to 0 and
+                # 0 − 1 = 0xFFFFFFFF — exactly the whole-key-space mask.
+                grp_mask = jax.lax.shift_left(jnp.uint32(16), step_shift) - jnp.uint32(1)
+
+                def sview(u):
+                    return (u ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+
+                def bot(j):  # signed view of bucket j's lowest key
+                    return sview(base + j.astype(jnp.uint32) * step)
+
+                def top(j):  # signed view of bucket j's highest key,
+                    # saturated at the group top for j ≥ 15 (probe buckets
+                    # can overshoot jhi; the rank resolves before any
+                    # overshoot bucket is chosen, so saturation is exact)
+                    j1 = jnp.minimum(j + 1, 16).astype(jnp.uint32)
+                    return sview(
+                        jnp.where(
+                            j >= 15, base | grp_mask, base + j1 * step - jnp.uint32(1)
+                        )
+                    )
+
+                denom = jnp.maximum(c_hi - c_lo, 1)
+                jpred = jlo + (jhi - jlo + 1) * (r - c_lo) // denom
+                k0 = jnp.clip(jpred - 2, jlo, jnp.maximum(jlo, jhi - 3))
+
+                member_ge = ik >= sview(base)
+                t = [
+                    jnp.sum((member_ge & (ik <= top(k0 + m))).astype(jnp.int32))
+                    for m in range(4)
+                ]
+
+                find_low = (r < t[0]) & (k0 == jlo)
+                narrow_hi = (r < t[0]) & (k0 > jlo)
+                narrow_lo = r >= t[3]
+                find = find_low | (r >= t[0]) & (r < t[3])
+                off = (
+                    (r >= t[0]).astype(jnp.int32)
+                    + (r >= t[1]).astype(jnp.int32)
+                    + (r >= t[2]).astype(jnp.int32)
+                )
+                bsel = jnp.where(find_low, jlo, k0 + off)
+                below = jnp.where(
+                    find_low,
+                    c_lo,
+                    jnp.where(off <= 1, t[0], jnp.where(off == 2, t[1], t[2])),
+                )
+                t_at = jnp.where(
+                    find_low,
+                    t[0],
+                    jnp.where(off <= 1, t[1], jnp.where(off == 2, t[2], t[3])),
+                )
+                c_lo_n = jnp.where(narrow_lo, t[3], c_lo)
+                c_hi_n = jnp.where(narrow_hi, t[0], c_hi)
+                jlo_n = jnp.where(narrow_lo, k0 + 4, jlo)
+                jhi_n = jnp.where(narrow_hi, k0, jhi)
+
+                wlo = jnp.where(find, bsel, jlo_n)
+                whi = jnp.where(find, bsel, jhi_n)
+                wmask = (ik >= bot(wlo)) & (ik <= top(whi))
+                wmin = jnp.min(jnp.where(wmask, ik, jnp.int32(0x7FFFFFFF)))
+                wmax = jnp.max(jnp.where(wmask, ik, jnp.int32(-0x80000000)))
+                cpfx, cit = _prefix_from_minmax(wmin, wmax)
+
+                adv = jnp.logical_not(done) & (cit > it)
+                below_eff = jnp.where(find, below, c_lo_n)
+                cnt_eff = jnp.where(find, t_at, c_hi_n) - below_eff
+                new_state.extend(
+                    [
+                        jnp.where(adv, cpfx, prefix),
+                        jnp.where(adv, r - below_eff, r),
+                        jnp.where(adv, cit, it),
+                        done | (adv & (cit >= 8)),
+                        jnp.where(adv, 0, jnp.where(done, c_lo, c_lo_n)),
+                        jnp.where(adv, cnt_eff, jnp.where(done, c_hi, c_hi_n)),
+                        jnp.where(adv, _nibble_at(wmin, cit), jnp.where(done, jlo, jlo_n)),
+                        jnp.where(adv, _nibble_at(wmax, cit), jnp.where(done, jhi, jhi_n)),
+                    ]
+                )
+                continue
+
             ik = _ikey_view(key)
             shift = jnp.maximum(28 - 4 * it, 0).astype(jnp.uint32)
             group = jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape))

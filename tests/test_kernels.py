@@ -126,7 +126,8 @@ class TestSelectionKernel:
         assert got[0, 0] == got[0, 1] == x.max()
 
     @pytest.mark.parametrize(
-        "mode", ["dep", "spec6", "spec4", "nocon", "defer", "interval", "interval8"]
+        "mode",
+        ["dep", "spec6", "spec4", "nocon", "defer", "interval", "interval8", "ikdep"],
     )
     def test_descent_modes_bit_exact(self, mode):
         """Every contraction strategy (dep / speculative / none) is the same
