@@ -213,7 +213,11 @@ def radix_descend_multi(selects, mode: str | None = None):
         k0 = selects[0][0]
         mode = _resolve_auto(mode, int(k0.shape[0]) * int(k0.shape[1]))
     if mode.startswith("interval"):
-        raise ValueError("interval modes live in interval_descend_multi")
+        # This function IS the radix implementation; standalone callers
+        # (per the docstring contract) still get a working descent when
+        # the auto ladder would pick the interval form — ikdep is the
+        # closest radix strategy for rows that small.
+        mode = "ikdep"
     n_sel = len(selects)
     state = []
     for key, rank in selects:
@@ -592,6 +596,11 @@ def interval_descend_multi(selects, n_cuts: int = 4):
     """
     _I32MAX = jnp.int32(0x7FFFFFFF)
     _I32MIN = jnp.int32(-0x80000000)
+    # Signed view of the +inf sentinel key: a fully-masked row resolves to
+    # the sentinel value itself, matching the radix modes (whose final
+    # member mask matches the sentinels) — so "auto" cannot make the
+    # empty-row result depend on row size.
+    _SENT_IK = jnp.int32(0x7F800000)
     n_sel = len(selects)
     iks = []
     state = []
@@ -599,11 +608,12 @@ def interval_descend_multi(selects, n_cuts: int = 4):
         ik = _ikey_view(key)
         valid = key != jnp.uint32(_SENTINEL_KEY)
         n0 = jnp.sum(valid.astype(jnp.int32))
-        klo0 = jnp.min(jnp.where(valid, ik, _I32MAX))
-        khi0 = jnp.max(jnp.where(valid, ik, _I32MIN))
+        empty = n0 == 0
+        klo0 = jnp.where(empty, _SENT_IK, jnp.min(jnp.where(valid, ik, _I32MAX)))
+        khi0 = jnp.where(empty, _SENT_IK, jnp.max(jnp.where(valid, ik, _I32MIN)))
         r0 = jnp.clip(rank, 0, jnp.maximum(n0 - 1, 0))
         iks.append(ik)
-        state.extend([klo0, khi0, r0, n0, (n0 == 0) | (klo0 == khi0)])
+        state.extend([klo0, khi0, r0, n0, empty | (klo0 == khi0)])
 
     _S = 5
 

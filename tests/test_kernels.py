@@ -146,6 +146,7 @@ class TestSelectionKernel:
                 np.float32
             ),
             np.full(4096, np.float32(1.5)),
+            np.full(4096, np.inf, np.float32),  # fully masked: +inf in EVERY mode
         ]
         ranks = [40, 4000, 0, 4095, 1000, 2048]
         for x in rows:
