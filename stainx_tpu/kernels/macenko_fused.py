@@ -1,24 +1,24 @@
-"""Fully-fused Pallas Macenko hot path: raw pixels → percentile results.
+"""Fully-fused Pallas Macenko hot path: the whole per-image transform in
+one kernel.
 
 The jnp pipeline materializes OD (N·P·3 f32), the projected angle field and
-both concentration fields in HBM between stages. These kernels instead load
-each image's RAW uint8/float row into VMEM once and compute everything —
-OD, β-mask, stain-plane projection, concentrations, radix rank selection —
-on-chip, writing back only per-image scalars:
+both concentration fields in HBM between stages. :func:`_mega_kernel`
+instead loads each image's RAW uint8/float row into VMEM once and computes
+everything on-chip — OD, β-mask, moments, the scalar analytic eigh, the
+stain-plane projection, the rank selections, and the reconstruction — so
+HBM traffic for the whole Macenko transform is one read of the input plus
+one write of the output.
 
-- :func:`phi_select_pallas` — OD → projection → angle percentiles.
-  Selection runs on a **monotone pseudo-angle** (the piecewise-rational
-  "diamond angle", order-isomorphic to atan2 on (−π, π]) because Mosaic has
-  no atan2 lowering — and none is needed: the reference only ever uses
-  cos(φ*)/sin(φ*) of the percentile pixel (``torch_backend.py:502-510``),
-  which are recovered exactly as t0/‖t‖, t1/‖t‖ of the selected member.
-- :func:`c_select_pallas` — OD → 2×2-normal-equation concentrations → 99th
-  percentiles of C0 and C1.
-
-Both reuse the radix-descent machinery of
+Angle percentiles select on a **monotone pseudo-angle** (the
+piecewise-rational "diamond angle", order-isomorphic to atan2 on (−π, π])
+because Mosaic has no atan2 lowering — and none is needed: the reference
+only ever uses cos(φ*)/sin(φ*) of the percentile pixel
+(``torch_backend.py:502-510``), which are recovered exactly as t0/‖t‖,
+t1/‖t‖ of the selected member. Selection rides the descent machinery of
 :mod:`stainx_tpu.kernels.selection` (bit-exact, scalar-only while carry).
-HBM traffic for the whole Macenko transform drops to ~3 reads of the uint8
-input + 1 write of the output.
+(The round-1 staged ``phi_select_pallas``/``c_select_pallas`` kernels were
+removed once the mega kernel covered their entire size range — dead code
+with no parity coverage otherwise.)
 """
 
 from __future__ import annotations
@@ -137,58 +137,6 @@ def _pseudo_angle(t0, t1):
     s = jnp.abs(t0) + jnp.abs(t1) + 1e-37
     a = t1 / s
     return jnp.where(t0 >= 0, a, jnp.where(t1 >= 0, 2.0 - a, -2.0 - a))
-
-
-def _phi_select_kernel(ranks_ref, params_ref, x_ref, out_ref, *, is_uint8: bool, p_true: int):
-    i = pl.program_id(0)
-    od = _od_planes(x_ref, is_uint8)
-
-    v = [[params_ref[i, c * 2 + k] for k in range(2)] for c in range(3)]  # (3,2) evecs
-    use_all = params_ref[i, 6] > 0.5
-
-    t0 = od[0] * v[0][0] + od[1] * v[1][0] + od[2] * v[2][0]
-    t1 = od[0] * v[0][1] + od[1] * v[1][1] + od[2] * v[2][1]
-    pseudo = _pseudo_angle(t0, t1)
-
-    od_min = jnp.minimum(jnp.minimum(od[0], od[1]), od[2])
-    s, lane = od[0].shape
-    idx = jax.lax.broadcasted_iota(jnp.int32, (s, lane), 0) * lane + jax.lax.broadcasted_iota(
-        jnp.int32, (s, lane), 1
-    )
-    in_image = idx < p_true
-    mask = ((od_min >= _BETA) | use_all) & in_image
-
-    key = _monotone_key(jnp.where(mask, pseudo, jnp.inf))
-    results = radix_select_multi(
-        [(key, ranks_ref[i, 0], (t0, t1)), (key, ranks_ref[i, 1], (t0, t1))]
-    )
-    for k in range(2):
-        c_sel, s_sel = results[k]
-        norm = jnp.sqrt(c_sel * c_sel + s_sel * s_sel)
-        inv = jnp.where(norm > 1e-30, 1.0 / norm, 0.0)
-        out_ref[i, 2 * k] = c_sel * inv  # cos(φ*)
-        out_ref[i, 2 * k + 1] = s_sel * inv  # sin(φ*)
-
-
-def _c_select_kernel(ranks_ref, params_ref, x_ref, out_ref, *, is_uint8: bool, p_true: int):
-    i = pl.program_id(0)
-    od = _od_planes(x_ref, is_uint8)
-
-    m = [[params_ref[i, r * 3 + c] for c in range(3)] for r in range(2)]  # (2,3) solve matrix
-
-    s, lane = od[0].shape
-    idx = jax.lax.broadcasted_iota(jnp.int32, (s, lane), 0) * lane + jax.lax.broadcasted_iota(
-        jnp.int32, (s, lane), 1
-    )
-    in_image = idx < p_true
-
-    sels = []
-    for k in range(2):
-        ck = od[0] * m[k][0] + od[1] * m[k][1] + od[2] * m[k][2]
-        sels.append((_monotone_key(jnp.where(in_image, ck, jnp.inf)), ranks_ref[i, k], (ck,)))
-    results = radix_select_multi(sels, keyed=True)
-    for k in range(2):
-        out_ref[i, k] = results[k][0]
 
 
 def _mega_kernel(
@@ -384,64 +332,3 @@ def fused_row_budget_ok(images_shape, dtype) -> bool:
     _, c, h, w = images_shape
     itemsize = 1 if dtype == jnp.uint8 else 4
     return h * w <= MAX_FUSED_PIXELS and c * h * w * itemsize <= MAX_ROW_BYTES
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def phi_select_pallas(images, evecs, use_all, ranks, interpret: bool | None = None):
-    """images (N,3,H,W) u8/f32; evecs (N,3,2); use_all (N,) bool;
-    ranks (N,2) int32 → (cos,sin) of both φ percentiles as (N,2,2)."""
-    if interpret is None:
-        interpret = interpret_mode()
-    x4, p_true, s = _row_layout(images)
-    n = x4.shape[0]
-    params = jnp.concatenate(
-        [evecs.reshape(n, 6).astype(jnp.float32), use_all.astype(jnp.float32)[:, None]], axis=1
-    )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, 3, s, _LANE), lambda i, ranks, params: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-    )
-    kernel = functools.partial(
-        _phi_select_kernel, is_uint8=images.dtype == jnp.uint8, p_true=p_true
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, 4), jnp.float32),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(ranks.astype(jnp.int32), params, x4)
-    return out.reshape(n, 2, 2)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def c_select_pallas(images, solve_m, ranks, interpret: bool | None = None):
-    """images (N,3,H,W); solve_m (N,2,3) = inv(HEᵀHE)HEᵀ rows; ranks (N,2)
-    int32 → 99th-percentile concentrations (N,2) [maxC0, maxC1]."""
-    if interpret is None:
-        interpret = interpret_mode()
-    x4, p_true, s = _row_layout(images)
-    n = x4.shape[0]
-    params = solve_m.reshape(n, 6).astype(jnp.float32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, 3, s, _LANE), lambda i, ranks, params: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-    )
-    kernel = functools.partial(_c_select_kernel, is_uint8=images.dtype == jnp.uint8, p_true=p_true)
-    return pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n, 2), jnp.float32),
-        interpret=interpret,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(ranks.astype(jnp.int32), params, x4)

@@ -99,7 +99,16 @@ def _descent_init(key):
     ik_min = jnp.min(jnp.where(valid0, ik, jnp.int32(0x7FFFFFFF)))
     ik_max = jnp.max(jnp.where(valid0, ik, jnp.int32(-0x80000000)))
     prefix0, it0 = _prefix_from_minmax(ik_min, ik_max)
-    return prefix0, it0, jnp.sum(valid0.astype(jnp.int32)), ik_min, ik_max
+    size0 = jnp.sum(valid0.astype(jnp.int32))
+    # Fully-masked row: resolve to the sentinel key itself (full prefix,
+    # it = 8). Without this, min > max makes _prefix_from_minmax return
+    # it0 = 0, and member_mask would shift a uint32 by 32 — undefined in
+    # XLA — and could match EVERY element. Matches the interval descent's
+    # empty-row convention: the selected "value" is +inf.
+    empty = size0 == 0
+    prefix0 = jnp.where(empty, jnp.uint32(_SENTINEL_KEY), prefix0)
+    it0 = jnp.where(empty, jnp.int32(8), it0)
+    return prefix0, it0, size0, ik_min, ik_max
 
 
 def _nibble_at(ik, it):

@@ -1,37 +1,43 @@
-"""Exact distributed nearest-rank percentile — adaptive global-histogram
-refinement with ``psum``-reduced counts.
+"""Exact distributed nearest-rank percentile — key-space radix descent
+with ``psum``-reduced byte histograms.
 
-The single-chip path selects ranks with VMEM-resident radix descent
-(:mod:`stainx_tpu.kernels.selection`); across chips a gathered top-k would
-move ~1% of all pixels over ICI. Instead each refinement level builds a
-256-bin histogram of the surviving values (one fused compare-reduce pass
-locally, one 256-int ``psum`` globally), descends into the bin containing
-the target rank, and repeats. Refinement is ADAPTIVE (round-2, closing the
-round-1 exactness cliff): levels continue until either
+The single-chip path selects ranks with VMEM-resident radix/interval
+descent (:mod:`stainx_tpu.kernels.selection`); across chips a gathered
+top-k would move ~1% of all pixels over ICI. Instead the descent runs in
+**key space**: f32 values map to the order-isomorphic uint32 key
+(``selection._monotone_key``), and each of exactly **four** levels builds
+a 256-bin histogram of the survivors' next key byte (one fused
+compare-reduce pass locally, one (K, 256) int32 ``psum`` globally),
+descends into the byte bucket containing the target rank, and extends the
+carried prefix. After four levels the prefix IS the full 32-bit key of
+the rank element — survivors are bit-identical by construction — and the
+value is its inverse mapping. No gather, no caps, no value-space interval
+arithmetic.
 
-- the in-interval rank ``r`` drops below the gather cap — then the final
-  ``all_gather`` of each shard's ``cap`` smallest survivors provably
-  contains the global rank element (any shard holds at most ``r < cap``
-  survivors ≤ it), or
-- every surviving candidate is bit-identical — then the value IS the
-  answer and no gather is needed (near-duplicate data would otherwise
-  never push ``r`` under the cap).
+This replaces the round-1/round-2 VALUE-space refinement, whose fixed
+``span/256^depth`` shrink could still leave more survivors than its final
+gather cap on wide-dynamic-range data (e.g. a 3e38 outlier over a cloud
+of 1e-30-spaced values) and silently return a clamped wrong rank.
+Key-space levels consume 8 of the key's 32 bits each, so exactness after
+4 levels is structural, for ANY f32 data including ±inf and denormals.
 
-Each level shrinks the interval 256×, so ≤ 8 levels resolve any f32 range
-to single-ulp width; the depth bound is a backstop, not a truncation.
+Multiple percentiles of (possibly different) fields evaluate
+**together**: ``x`` may be (K, P_local) with one rank per row, so each
+level costs ONE (K, 256) ``psum`` round instead of K sequential
+collectives — the Macenko fit batches its φ pair and its C0/C1 pair this
+way.
 
-Multiple percentiles of (possibly different) fields evaluate **together**:
-``x`` may be (K, P_local) with one rank per row, so each level costs ONE
-(K, 256) ``psum`` round instead of K sequential collectives — the Macenko
-fit batches its φ pair and its C0/C1 pair this way.
-
-Communication: depth × (K×256 + 4K) ints/floats + one ≤(256·n_dev·K)
-float gather — independent of pixel count.
+Communication: 1 count psum + 4 × (K×256) int32 psums — independent of
+pixel count, shard count, and data distribution.
 
 Count range: counts and ranks are int32 — exact up to 2³¹−1 pooled valid
 pixels (≈ 8 000 chips × 64 × 512² tiles in ONE batch-mode fit step).
 Between 2³¹ and 2³² the psum wraps negative and the result is NaN (the
 ``cnt > 0`` guard); this is the documented ceiling.
+
+Counterpart of the reference's sort+gather percentile machinery
+(``src/stainx_cuda_torch/csrc/macenko.cu:52-58``), which never had to
+distribute; SURVEY §2.3 names this the psum-native design.
 """
 
 from __future__ import annotations
@@ -39,18 +45,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from stainx_tpu.kernels.selection import _monotone_key, _unkey
 from stainx_tpu.ops.percentile import nearest_rank_index
-
-_GATHER_CAP = 256  # per-shard candidates in the final exact step
-_MAX_LEVELS = 8  # 256^8 = 2^64-fold refinement: past any f32 spread
-
-
-def _level_histograms(x, valid, lo, width):
-    """(K, 256) int32 counts of valid values by bin index clip(⌊(x−lo)/w⌋)."""
-    b = jnp.clip(jnp.floor((x - lo[:, None]) / width[:, None]).astype(jnp.int32), 0, 255)
-    bins = jnp.arange(256, dtype=jnp.int32)
-    eq = (b[:, None, :] == bins[None, :, None]) & valid[:, None, :]  # (K, 256, P)
-    return jnp.sum(eq, axis=-1, dtype=jnp.int32), b
 
 
 def distributed_masked_percentile(
@@ -66,10 +62,11 @@ def distributed_masked_percentile(
     percentile ``q``) or (K, P) with a length-K sequence of percentiles —
     returning a scalar or a (K,) vector (replicated).
 
-    ``levels`` is a minimum refinement depth (comm-latency tuning only);
-    refinement always continues until the result is provably exact (module
-    docstring), so the returned value IS the global nearest-rank element.
+    ``levels`` is accepted for API compatibility and ignored: the
+    key-space descent always runs exactly four byte levels, after which
+    the result is structurally exact (module docstring).
     """
+    del levels
     single = x.ndim == 1
     x2 = (x[None] if single else x).astype(jnp.float32)
     valid0 = mask[None] if single else mask
@@ -83,66 +80,37 @@ def distributed_masked_percentile(
     cnt = jax.lax.psum(jnp.sum(valid0, axis=-1, dtype=jnp.int32), axis_name)  # (K,)
     r0 = jnp.stack([nearest_rank_index(qs[i], cnt[i]) for i in range(k_rows)])
 
-    inf = jnp.float32(jnp.inf)
-    cap = min(_GATHER_CAP, x2.shape[-1])
+    keys = _monotone_key(x2)  # (K, P) uint32, order-isomorphic to the f32s
+    bins = jnp.arange(256, dtype=jnp.int32)
 
-    def survivor_span(valid):
-        smin = jax.lax.pmin(jnp.min(jnp.where(valid, x2, inf), axis=-1), axis_name)
-        smax = jax.lax.pmax(jnp.max(jnp.where(valid, x2, -inf), axis=-1), axis_name)
-        return smin, smax
-
-    lo0, hi0 = survivor_span(valid0)
-
-    def unresolved(r, smin, smax):
-        return (r >= cap) & (smax > smin)
-
-    def cond(state):
-        _lo, _hi, r, _valid, smin, smax, depth = state
-        # All decisions derive from replicated collectives → identical on
-        # every shard (a requirement for collectives inside the loop body).
-        return (jnp.any(unresolved(r, smin, smax)) & (depth < _MAX_LEVELS)) | (
-            depth < levels
-        )
-
-    def body(state):
-        lo, hi, r, valid, smin, smax, depth = state
-        width = jnp.maximum((hi - lo) / 256.0, 1e-37)
-        hist_local, b = _level_histograms(x2, valid, lo, width)
-        hist = jax.lax.psum(hist_local, axis_name)  # ONE (K, 256) collective
+    def body(level, state):
+        prefix, r, valid = state
+        shift = jnp.uint32(24 - 8 * level)
+        byte = (
+            jax.lax.shift_right_logical(keys, jnp.broadcast_to(shift, keys.shape))
+            & jnp.uint32(255)
+        ).astype(jnp.int32)
+        eq = (byte[:, None, :] == bins[None, :, None]) & valid[:, None, :]
+        hist = jax.lax.psum(
+            jnp.sum(eq, axis=-1, dtype=jnp.int32), axis_name
+        )  # ONE (K, 256) collective per level
         c = jnp.cumsum(hist, axis=-1)
         bsel = jnp.minimum(jnp.sum((c <= r[:, None]).astype(jnp.int32), -1), 255)
         below = jnp.where(
-            bsel > 0, jnp.take_along_axis(c, jnp.maximum(bsel - 1, 0)[:, None], -1)[:, 0], 0
+            bsel > 0,
+            jnp.take_along_axis(c, jnp.maximum(bsel - 1, 0)[:, None], -1)[:, 0],
+            0,
         )
-        # Freeze rows that are already resolved (their survivors must keep
-        # matching the final gather / equal-value read-out).
-        live = unresolved(r, smin, smax)
-        new_r = jnp.where(live, r - below, r)
-        new_valid = jnp.where(live[:, None], valid & (b == bsel[:, None]), valid)
-        new_lo = jnp.where(live, lo + bsel.astype(jnp.float32) * width, lo)
-        new_hi = jnp.where(live, new_lo + width, hi)
-        new_smin, new_smax = survivor_span(new_valid)
-        return (new_lo, new_hi, new_r, new_valid, new_smin, new_smax, depth + 1)
+        new_prefix = jax.lax.shift_left(prefix, jnp.uint32(8)) | bsel.astype(jnp.uint32)
+        new_valid = valid & (byte == bsel[:, None])
+        return new_prefix, r - below, new_valid
 
-    lo, hi, r, valid, smin, smax, _ = jax.lax.while_loop(
-        cond, body, (lo0, hi0, r0, valid0, lo0, hi0, jnp.int32(0))
-    )
+    prefix0 = jnp.zeros((k_rows,), jnp.uint32)
+    prefix, _r, _valid = jax.lax.fori_loop(0, 4, body, (prefix0, r0, valid0))
 
-    # Final exact step: gather each shard's `cap` smallest survivors and take
-    # the r-th smallest globally (exact whenever r < cap — guaranteed by the
-    # loop unless the survivors are all identical, handled below).
-    neg = jnp.where(valid, -x2, -inf)
-    local_top, _ = jax.lax.top_k(neg, cap)  # (K, cap), ascending as -values
-    gathered = local_top
-    axes = (axis_name,) if isinstance(axis_name, str) else tuple(axis_name)
-    for ax in axes:
-        gathered = jax.lax.all_gather(gathered, ax, tiled=True, axis=1)
-    g_top, _ = jax.lax.top_k(gathered, cap)  # (K, cap)
-    r_clamped = jnp.minimum(r, cap - 1)
-    result = -jnp.take_along_axis(g_top, r_clamped[:, None], axis=-1)[:, 0]
-
-    # Identical survivors: the common value is the rank value, whatever r.
-    result = jnp.where(smax <= smin, smin, result)
+    # Four byte levels consumed all 32 key bits: the prefix IS the key of
+    # the global nearest-rank element.
+    result = _unkey(prefix)
     # Degenerate global cases: no valid values → NaN (caller's contract).
     result = jnp.where(cnt > 0, result, jnp.float32(jnp.nan))
     return result[0] if single else result

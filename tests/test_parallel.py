@@ -78,6 +78,53 @@ class TestDistributedPercentile:
         expected = np.sort(x)[static_nearest_rank_index(50, n)]
         assert float(got) == expected
 
+    def test_wide_dynamic_range_outlier(self, mesh):
+        """Adversarial for VALUE-space refinement (the round-2 advisor
+        repro): a 3e38 outlier over a cloud of 1e-30-spaced values left
+        span/256^8 intervals holding thousands of survivors, and the old
+        gather cap clamped the rank to a wrong element. The key-space
+        radix descent consumes 8 key bits per level, so 4 levels are
+        structurally exact regardless of value spacing."""
+        n = 8 * 500
+        x = (np.arange(n, dtype=np.float64) * 1e-30).astype(np.float32)
+        x[-1] = np.float32(3e38)
+        mask = np.ones_like(x, bool)
+
+        got = jax.jit(
+            jax.shard_map(
+                lambda xs, ms: parallel.distributed_masked_percentile(xs, ms, 1, "batch"),
+                mesh=mesh,
+                in_specs=jax.sharding.PartitionSpec("batch"),
+                out_specs=jax.sharding.PartitionSpec(),
+                check_vma=False,
+            )
+        )(jnp.asarray(x), jnp.asarray(mask))
+        expected = np.sort(x)[static_nearest_rank_index(1, n)]
+        assert float(got) == expected
+
+    def test_infinities_and_denormals(self, mesh):
+        """±inf are ordinary keys in key space; denormals keep exact order."""
+        n = 8 * 64
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal(n).astype(np.float32)
+        x[0], x[1] = np.inf, -np.inf
+        x[2:6] = np.float32(1e-42) * np.arange(1, 5, dtype=np.float32)
+        mask = np.ones_like(x, bool)
+        for q in (1, 99):
+            got = jax.jit(
+                jax.shard_map(
+                    lambda xs, ms, q=q: parallel.distributed_masked_percentile(
+                        xs, ms, q, "batch"
+                    ),
+                    mesh=mesh,
+                    in_specs=jax.sharding.PartitionSpec("batch"),
+                    out_specs=jax.sharding.PartitionSpec(),
+                    check_vma=False,
+                )
+            )(jnp.asarray(x), jnp.asarray(mask))
+            expected = np.sort(x)[static_nearest_rank_index(q, n)]
+            assert float(got) == expected
+
     def test_heavy_duplicates(self, mesh):
         """Many identical values: result must still land on the duplicated
         value (the documented near-identical-candidates regime)."""
