@@ -61,7 +61,7 @@ def _oracle_probe(method: str, ref: np.ndarray, src: np.ndarray) -> np.ndarray:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--method", default="macenko", choices=["macenko", "reinhard", "histogram_matching"])
+    p.add_argument("--method", default="macenko", choices=["macenko", "reinhard", "histogram_matching", "hm"])
     p.add_argument("--batch-size", nargs="+", type=int, default=[32, 64, 128])
     p.add_argument("--image-size", nargs="+", type=int, default=[128, 256, 512])
     p.add_argument("--runs", type=int, default=10)
@@ -73,6 +73,8 @@ def main() -> None:
     )
     p.add_argument("--json", action="store_true", help="emit one JSON line per config")
     args = p.parse_args()
+    if args.method == "hm":
+        args.method = "histogram_matching"
 
     def cast(batch_u8: np.ndarray) -> np.ndarray:
         if args.dtype == "float32":

@@ -44,10 +44,12 @@ def _oracle(method, ref, src):
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--method", default="macenko", choices=["macenko", "reinhard", "histogram_matching"])
+    p.add_argument("--method", default="macenko", choices=["macenko", "reinhard", "histogram_matching", "hm"])
     p.add_argument("--runs", type=int, default=10)
     p.add_argument("--json", action="store_true")
     args = p.parse_args()
+    if args.method == "hm":
+        args.method = "histogram_matching"
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/stainx_jax_cache")
 

@@ -15,7 +15,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import jax
 import numpy as np
+
+# Persist compiled executables — first-time TPU compiles of the full
+# pipeline run minutes through remote relays.
+jax.config.update("jax_compilation_cache_dir", "/tmp/stainx_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from examples.simple_example import synthetic_tile
 from stainx_tpu import StainNormalizerTransform

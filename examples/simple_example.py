@@ -15,7 +15,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+import jax
 import numpy as np
+
+# Persist compiled executables — first-time TPU compiles through remote
+# relays run minutes; cached reruns are instant.
+jax.config.update("jax_compilation_cache_dir", "/tmp/stainx_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from stainx_tpu import HistogramMatching, Macenko, Reinhard
 
