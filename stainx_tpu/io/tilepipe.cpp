@@ -99,10 +99,15 @@ void* tp_open(size_t slot_bytes, int n_slots, int n_threads) {
     p->slot_bytes = slot_bytes;
     p->slots = std::vector<Slot>(static_cast<size_t>(n_slots));
     for (auto& s : p->slots) {
-        if (posix_memalign(reinterpret_cast<void**>(&s.data), 4096, slot_bytes) != 0) {
+        void* mem = nullptr;
+        if (posix_memalign(&mem, 4096, slot_bytes) != 0) {
+            // POSIX leaves *memptr undefined on failure: keep this slot's
+            // pointer null so ~Pipe()'s free() of every slot stays defined.
+            s.data = nullptr;
             delete p;
             return nullptr;
         }
+        s.data = static_cast<uint8_t*>(mem);
     }
     for (int i = 0; i < n_threads; ++i) {
         p->workers.emplace_back([p] { p->worker(); });

@@ -147,10 +147,8 @@ class RawTileLoader:
         pipe = TilePipe(self.batch_size * self.tile_bytes, n_slots=2, n_threads=self._n_threads)
         try:
             batches = list(self._batches())
-            counts = []
             for i, batch in enumerate(batches[:2]):
                 self._enqueue(pipe, i % 2, batch)
-                counts.append(len(batch))
             for i, batch in enumerate(batches):
                 slot = i % 2
                 pipe.wait(slot)

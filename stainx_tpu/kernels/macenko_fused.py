@@ -224,7 +224,10 @@ def _mega_kernel(
     a = h0[0] * h0[0] + h0[1] * h0[1] + h0[2] * h0[2]
     b = h0[0] * h1[0] + h0[1] * h1[1] + h0[2] * h1[2]
     c_ = h1[0] * h1[0] + h1[1] * h1[1] + h1[2] * h1[2]
-    inv_det = 1.0 / (a * c_ - b * b)
+    # Finite-inverse clamp — mirrors ops.macenko._concentrations_2x2:
+    # bit-identical to 1/det when the stain pair is well-posed, finite
+    # when a uniform tile makes the columns (anti)parallel.
+    inv_det = jnp.clip(1.0 / (a * c_ - b * b), -1e12, 1e12)
     m0 = [(c_ * h0[d] - b * h1[d]) * inv_det for d in range(3)]
     m1 = [(a * h1[d] - b * h0[d]) * inv_det for d in range(3)]
 
@@ -242,8 +245,9 @@ def _mega_kernel(
 
     tmc0, tmc1 = params_ref[0, 0], params_ref[0, 1]
     stain = [[params_ref[0, 2 + 2 * c + k] for k in range(2)] for c in range(3)]
-    scale0 = tmc0 / maxc0
-    scale1 = tmc1 / maxc1
+    # maxC floor — mirrors ops.macenko: keeps a uniform tile's 0/0 finite.
+    scale0 = tmc0 / jnp.maximum(maxc0, 1e-30)
+    scale1 = tmc1 / jnp.maximum(maxc1, 1e-30)
 
     cn0 = c0 * scale0
     cn1 = c1 * scale1
@@ -329,6 +333,12 @@ MAX_FUSED_PIXELS = 1_310_720  # 1280×1024, largest compile-verified row
 
 
 def fused_row_budget_ok(images_shape, dtype) -> bool:
+    # The kernels store f32 results into an out_ref of the input dtype:
+    # only uint8 (explicit cast) and float32 are lowered. Other float
+    # dtypes (bf16/f16/f64) stay on the XLA path, which handles the
+    # normalize→compute-f32→preserve_dtype round trip.
+    if dtype not in (jnp.uint8, jnp.float32):
+        return False
     _, c, h, w = images_shape
     itemsize = 1 if dtype == jnp.uint8 else 4
     return h * w <= MAX_FUSED_PIXELS and c * h * w * itemsize <= MAX_ROW_BYTES

@@ -153,7 +153,15 @@ def _concentrations_2x2(he: jnp.ndarray, od_c) -> tuple[jnp.ndarray, jnp.ndarray
     a = jnp.sum(h0 * h0, axis=-1)  # (N,)
     b = jnp.sum(h0 * h1, axis=-1)
     c = jnp.sum(h1 * h1, axis=-1)
-    inv_det = 1.0 / (a * c - b * b)
+    # Finite-inverse clamp: bit-identical to the raw 1/det for every
+    # well-posed stain pair (unit columns ⇒ |1/det| = 1/sin²θ ≪ 1e12, and
+    # the det expression keeps a single consumer so XLA's FMA fusion — and
+    # batch-vs-single ulp consistency — is untouched). When a uniform
+    # tile's identical φ percentiles make the columns (anti)parallel,
+    # 1/det is ±inf and the clamp keeps concentrations finite; the
+    # maxC-normalized reconstruction then cancels the scale, where the
+    # reference's lstsq returns its defined min-norm solution.
+    inv_det = jnp.clip(1.0 / (a * c - b * b), -1e12, 1e12)
 
     rhs0 = sum(h0[:, i, None] * od_c[i] for i in range(3))  # (N, P)
     rhs1 = sum(h1[:, i, None] * od_c[i] for i in range(3))
@@ -297,8 +305,12 @@ def macenko_transform(
     max_c0, max_c1 = max_c[:n], max_c[n:]
 
     tmc = target_max_conc.reshape(-1).astype(jnp.float32)
-    cn0 = (c0 * (tmc[0] / max_c0)[:, None]).astype(recon_dtype)
-    cn1 = (c1 * (tmc[1] / max_c1)[:, None]).astype(recon_dtype)
+    # maxC floor: a uniform (background) tile yields all-zero concentrations
+    # and maxC == 0 — tmc/0 = inf then 0·inf = NaN. maximum() is
+    # value-identical for any real tile (maxC ≫ 1e-30), and division bits
+    # depend only on operand values, so well-posed outputs are untouched.
+    cn0 = (c0 * (tmc[0] / jnp.maximum(max_c0, 1e-30))[:, None]).astype(recon_dtype)
+    cn1 = (c1 * (tmc[1] / jnp.maximum(max_c1, 1e-30))[:, None]).astype(recon_dtype)
 
     stain = stain_matrix.astype(jnp.float32)
     recon = [

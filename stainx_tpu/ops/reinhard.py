@@ -83,7 +83,9 @@ def reinhard_transform(
     lab_mean = jnp.mean(lab, axis=(0, 2, 3), keepdims=True)
     lab_std = jnp.std(lab, axis=(0, 2, 3), ddof=1, keepdims=True)
 
-    if use_pallas:
+    if use_pallas and images.dtype in (jnp.uint8, jnp.float32):
+        # Other float dtypes (bf16/f16/f64) stay on the XLA path: the
+        # kernel stores f32 into an out_ref of the input dtype.
         from stainx_tpu.kernels.reinhard_fused import reinhard_apply_pallas
 
         return reinhard_apply_pallas(

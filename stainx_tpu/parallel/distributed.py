@@ -28,12 +28,9 @@ from stainx_tpu.parallel.percentile import distributed_masked_percentile
 
 
 def reinhard_fit_sharded(images, axis_name):
-    """Exact distributed Reinhard fit: psum of (n, Σx, Σx²) LAB moments."""
-    n, s, sq = reinhard_ops.lab_moments(images)
-    n = jax.lax.psum(n, axis_name)
-    s = jax.lax.psum(s, axis_name)
-    sq = jax.lax.psum(sq, axis_name)
-    return reinhard_ops.moments_to_mean_std(n, s, sq)
+    """Exact distributed Reinhard fit: psum of (n, Σx, Σx²) LAB moments
+    (delegates to the single implementation in :mod:`stainx_tpu.ops.reinhard`)."""
+    return reinhard_ops.reinhard_fit_sharded(images, axis_name=axis_name)
 
 
 def reinhard_transform_sharded(images, reference_mean, reference_std, axis_name):

@@ -71,8 +71,6 @@ class StainNormalizerTransform:
         # explicit backend= is honored across device syncs by the inner
         # normalizer itself (NormalizerTemplate.to_device).
         self.device = None if device is None else get_device(device)
-        if mesh is not None and channel_axis not in _CHANNELS_FIRST:
-            raise ValueError("mesh execution currently requires NCHW (channel_axis=1).")
 
         if mode not in ("reference", "batch"):
             raise ValueError(f"Unsupported mode '{mode}'. Use 'reference' or 'batch'.")
@@ -123,6 +121,12 @@ class StainNormalizerTransform:
                 )
             else:
                 self.normalizer = cls(device=norm_device, backend=backend)
+
+        # After prebuilt-normalizer reconciliation may have overridden
+        # channel_axis: the mesh path's sharded ops are NCHW-only, so a
+        # channels-last layout (however it was requested) cannot ride it.
+        if mesh is not None and self.channel_axis not in _CHANNELS_FIRST:
+            raise ValueError("mesh execution currently requires NCHW (channel_axis=1).")
 
         if mode == "reference":
             if reference is None and not getattr(self.normalizer, "_is_fitted", False):

@@ -295,6 +295,53 @@ class TestFusedMacenko:
         out = np.asarray(mk._macenko_transform_fused(jnp.asarray(white), he, tmc))
         assert np.isfinite(out.astype(np.float32)).all()
 
+    @pytest.mark.parametrize("dtype", ["uint8", "float32"])
+    def test_uniform_background_tile_finite_both_backends(self, dtype):
+        """A constant-color (background) tile has an exactly-zero masked
+        covariance: the analytic eigh must fall back to LAPACK's identity
+        convention and the 2×2 solve's determinant floor must hold —
+        pre-fix this produced NaN (xla float), all-black (xla uint8), and
+        backend-divergent output (round-2 advisor finding)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.ops import macenko as mk
+
+        ref_img = oracle_tile(64)
+        he, tmc = mk.macenko_fit(jnp.asarray(ref_img))
+        if dtype == "uint8":
+            tile = np.full((1, 3, 32, 32), 250, np.uint8)
+        else:
+            tile = np.full((1, 3, 32, 32), 0.7, np.float32)
+        out_xla = np.asarray(
+            mk.macenko_transform(jnp.asarray(tile), he, tmc, use_pallas=False)
+        ).astype(np.float32)
+        out_fused = np.asarray(
+            mk._macenko_transform_fused(jnp.asarray(tile), he, tmc)
+        ).astype(np.float32)
+        assert np.isfinite(out_xla).all()
+        assert np.isfinite(out_fused).all()
+        # A uniform input must stay uniform per channel (a per-pixel map
+        # applied to equal pixels; channels may land on different values).
+        assert (np.ptp(out_xla.reshape(3, -1), axis=1) == 0.0).all()
+        assert (np.ptp(out_fused.reshape(3, -1), axis=1) == 0.0).all()
+
+    def test_bf16_float_input_routes_to_xla(self):
+        """Non-f32 float dtypes cannot lower through the fused kernels
+        (f32 stores into a bf16 out_ref); the router must keep them on the
+        XLA path and preserve dtype."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.macenko_fused import fused_row_budget_ok
+        from stainx_tpu.ops import macenko as mk
+
+        assert not fused_row_budget_ok((1, 3, 64, 64), jnp.bfloat16)
+        ref_img = oracle_tile(64)
+        he, tmc = mk.macenko_fit(jnp.asarray(ref_img))
+        src = jnp.asarray(oracle_tile(64, seed=5).astype(np.float32) / 255.0, jnp.bfloat16)
+        out = mk.macenko_transform(src, he, tmc, use_pallas=True)
+        assert out.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(out).astype(np.float32)).all()
+
 
 def test_fused_kernels_nonpow2_sizes():
     """224² (the standard pathology tile) produces s=392 rows — tile picks

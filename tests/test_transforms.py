@@ -195,6 +195,20 @@ class TestMeshExecution:
         with pytest.raises(ValueError, match="image tensor"):
             t(np.zeros((8, 4, 3, 32, 32), np.uint8))
 
+    def test_mesh_rejects_channels_last_prebuilt_normalizer(self, mesh):
+        """The NHWC guard must see the channel_axis a prebuilt
+        HistogramMatching imposes, not just the constructor argument —
+        pre-fix this constructed fine and crashed (or silently histogrammed
+        the wrong axis) inside the sharded ops (review finding)."""
+        ref = np.random.default_rng(0).integers(0, 256, (1, 16, 16, 3), np.uint8)
+        with pytest.raises(ValueError, match="NCHW"):
+            StainNormalizerTransform(
+                normalizer=HistogramMatching(device="cpu", channel_axis=-1),
+                reference=ref,
+                mesh=mesh,
+                device="cpu",
+            )
+
 
 class TestBackendStickiness:
     """An explicit backend= must survive device moves; auto-selected
