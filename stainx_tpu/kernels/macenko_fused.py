@@ -139,6 +139,22 @@ def _pseudo_angle(t0, t1):
     return jnp.where(t0 >= 0, a, jnp.where(t1 >= 0, 2.0 - a, -2.0 - a))
 
 
+def _dir_from_pseudo(p):
+    """(cos, sin) of the direction a diamond angle encodes — the inverse
+    of :func:`_pseudo_angle` up to the (irrelevant) radius. On the L1
+    circle the angle is piecewise LINEAR in the direction components:
+    |p| ≤ 1 ⇒ (1−|p|, p); p > 1 ⇒ (1−p, 2−p); p < −1 ⇒ (1+p, −2−p), then
+    normalize. Lets the φ selects read ONLY the keyed angle value (one
+    reduce) instead of the member's (t0, t1) pair (an index round trip),
+    and makes duplicate resolution value-deterministic."""
+    ap = jnp.abs(p)
+    u = jnp.where(ap <= 1.0, 1.0 - ap, jnp.where(p > 1.0, 1.0 - p, 1.0 + p))
+    v = jnp.where(ap <= 1.0, p, jnp.where(p > 1.0, 2.0 - p, -2.0 - p))
+    norm = jnp.sqrt(u * u + v * v)
+    inv = jnp.where(norm > 1e-30, 1.0 / norm, 0.0)
+    return u * inv, v * inv
+
+
 def _mega_kernel(
     params_ref, x_ref, out_ref, *, is_uint8: bool, p_true: int, alpha: int, idx_hi_conc: int
 ):
@@ -205,15 +221,11 @@ def _mega_kernel(
     r_lo = nearest_rank_index(alpha, cnt_i)
     r_hi = nearest_rank_index(100 - alpha, cnt_i)
 
-    phi_results = radix_select_multi([(key, r_lo, (t0, t1)), (key, r_hi, (t0, t1))])
-
-    def normalize_extreme(c_sel, s_sel):
-        norm = jnp.sqrt(c_sel * c_sel + s_sel * s_sel)
-        inv = jnp.where(norm > 1e-30, 1.0 / norm, 0.0)
-        return c_sel * inv, s_sel * inv
-
-    cos_lo, sin_lo = normalize_extreme(*phi_results[0])
-    cos_hi, sin_hi = normalize_extreme(*phi_results[1])
+    phi_results = radix_select_multi(
+        [(key, r_lo, (pseudo,)), (key, r_hi, (pseudo,))], keyed=True
+    )
+    cos_lo, sin_lo = _dir_from_pseudo(phi_results[0][0])
+    cos_hi, sin_hi = _dir_from_pseudo(phi_results[1][0])
 
     vmin = [v00 * cos_lo + v01 * sin_lo, v10 * cos_lo + v11 * sin_lo, v20 * cos_lo + v21 * sin_lo]
     vmax = [v00 * cos_hi + v01 * sin_hi, v10 * cos_hi + v11 * sin_hi, v20 * cos_hi + v21 * sin_hi]
