@@ -32,14 +32,11 @@ RUNS = 20
 
 
 def _synthetic_he(n: int, h: int, w: int, seed: int = 0) -> np.ndarray:
-    rng = np.random.default_rng(seed)
-    he = np.array([[0.5626, 0.2159], [0.7201, 0.8012], [0.4062, 0.5581]], np.float32)
-    conc = np.stack(
-        [0.3 + 1.8 * rng.random((n, h * w), np.float32), 0.2 + rng.random((n, h * w), np.float32)],
-        axis=1,
-    )
-    od = np.einsum("cs,nsp->ncp", he, conc)
-    return np.clip(240.0 * np.exp(-od), 0, 255).astype(np.uint8).reshape(n, 3, h, w)
+    # Single source of truth for the Beer–Lambert fixtures — the fresh-data
+    # protocol depends on every harness timing the same distribution.
+    from benchmarks.utils import synthetic_he_batch
+
+    return synthetic_he_batch(n, h, w, seed=seed)
 
 
 def main() -> None:

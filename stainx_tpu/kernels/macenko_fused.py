@@ -12,10 +12,13 @@ one write of the output.
 Angle percentiles select on a **monotone pseudo-angle** (the
 piecewise-rational "diamond angle", order-isomorphic to atan2 on (−π, π])
 because Mosaic has no atan2 lowering — and none is needed: the reference
-only ever uses cos(φ*)/sin(φ*) of the percentile pixel
-(``torch_backend.py:502-510``), which are recovered exactly as t0/‖t‖,
-t1/‖t‖ of the selected member. Selection rides the descent machinery of
-:mod:`stainx_tpu.kernels.selection` (bit-exact, scalar-only while carry).
+only ever uses cos(φ*)/sin(φ*) of the percentile angle
+(``torch_backend.py:502-510``), and the diamond angle is piecewise LINEAR
+in the direction components, so (cos, sin) is recovered algebraically
+from the selected angle value alone (:func:`_dir_from_pseudo`) — the φ
+selects are keyed single-reduce reads. Selection rides the descent
+machinery of :mod:`stainx_tpu.kernels.selection` (bit-exact, scalar-only
+while carry).
 (The round-1 staged ``phi_select_pallas``/``c_select_pallas`` kernels were
 removed once the mega kernel covered their entire size range — dead code
 with no parity coverage otherwise.)

@@ -160,6 +160,30 @@ class TestSelectionKernel:
                 expected = valid[min(r, len(valid) - 1)] if len(valid) else np.inf
                 assert float(val) == expected, (mode, r)
 
+    def test_multi_field_member_read_single_pixel(self):
+        """The non-keyed field-read path (no in-tree kernel uses it since
+        the φ selects went keyed, but it is public API): every requested
+        field must come from ONE member — the minimum-linear-index one —
+        even when the rank lands in a cluster of key-identical elements
+        with differing payloads (round-1 advisor contract)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.selection import _monotone_key, radix_select_multi
+
+        key_vals = np.zeros(1024, np.float32)
+        key_vals[:] = 7.25  # one big bit-identical cluster
+        payload_a = np.arange(1024, dtype=np.float32)
+        payload_b = 1000.0 - payload_a
+        key = _monotone_key(jnp.asarray(key_vals.reshape(8, 128)))
+        [res] = radix_select_multi(
+            [(key, jnp.int32(500), (jnp.asarray(payload_a.reshape(8, 128)),
+                                    jnp.asarray(payload_b.reshape(8, 128))))]
+        )
+        a_sel, b_sel = res
+        # Min-index member is element 0: payloads must BOTH come from it.
+        assert float(a_sel) == 0.0
+        assert float(b_sel) == 1000.0
+
     def test_macenko_pallas_path_matches_xla(self):
         from stainx_tpu.ops import macenko as mk
 
