@@ -28,7 +28,7 @@ BASELINE_MPIX_PER_S = 291.0  # est. H100 torch_cuda Macenko (see module docstrin
 BATCH = 64
 SIZE = 512
 WARMUP = 5
-RUNS = 20
+RUNS = 40
 
 
 def _synthetic_he(n: int, h: int, w: int, seed: int = 0) -> np.ndarray:
@@ -113,7 +113,7 @@ def main() -> None:
     float(probe(y))
     run(1)
     base = min(run(1) for _ in range(3))
-    total = min(run(1 + RUNS) for _ in range(2))
+    total = min(run(1 + RUNS) for _ in range(3))
     elapsed = max(total - base, 1e-9)
 
     mpix = BATCH * SIZE * SIZE / 1e6
