@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 import jax
 import numpy as np
 
-from benchmarks.utils import mae, synthetic_he_batch, time_on_device
+from benchmarks.utils import canonical_method, mae, synthetic_he_batch, time_on_device
 
 
 def _build(method: str, ref: np.ndarray):
@@ -61,7 +61,12 @@ def _oracle_probe(method: str, ref: np.ndarray, src: np.ndarray) -> np.ndarray:
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--method", default="macenko", choices=["macenko", "reinhard", "histogram_matching", "hm"])
+    p.add_argument(
+        "--method",
+        default="macenko",
+        type=canonical_method,
+        choices=["macenko", "reinhard", "histogram_matching"],
+    )
     p.add_argument("--batch-size", nargs="+", type=int, default=[32, 64, 128])
     p.add_argument("--image-size", nargs="+", type=int, default=[128, 256, 512])
     p.add_argument("--runs", type=int, default=10)
@@ -73,8 +78,6 @@ def main() -> None:
     )
     p.add_argument("--json", action="store_true", help="emit one JSON line per config")
     args = p.parse_args()
-    if args.method == "hm":
-        args.method = "histogram_matching"
 
     def cast(batch_u8: np.ndarray) -> np.ndarray:
         if args.dtype == "float32":

@@ -25,7 +25,15 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--runs", type=int, default=20)
-    ap.add_argument("--modes", nargs="*", default=["dep", "ikdep", "interval"])
+    ap.add_argument(
+        "--modes",
+        nargs="*",
+        default=["dep", "ikdep", "interval"],
+        choices=[
+            "dep", "ikdep", "spec6", "spec4", "nocon", "defer",
+            "interval", "interval8", "auto",
+        ],
+    )
     args = ap.parse_args()
 
     import jax
@@ -46,27 +54,34 @@ def main() -> None:
     tmc = jax.device_put(np.asarray(tmc))
 
     ref_out = None
-    for mode in args.modes:
-        sel.DESCENT_MODE = mode
-        jax.clear_caches()
+    try:
+        for mode in args.modes:
+            sel.DESCENT_MODE = mode
+            jax.clear_caches()
 
-        out_np = np.asarray(macenko_transform_mega(batch, he, tmc))
-        if ref_out is None:
-            ref_out = out_np
-        else:
-            diff = int(
-                np.abs(out_np.astype(np.int32) - ref_out.astype(np.int32)).max()
+            out_np = np.asarray(macenko_transform_mega(batch, he, tmc))
+            if ref_out is None:
+                ref_out = out_np
+            else:
+                diff = int(
+                    np.abs(out_np.astype(np.int32) - ref_out.astype(np.int32)).max()
+                )
+                # Explicit raise (not `assert`): the bit-exactness gate must
+                # survive `python -O`.
+                if diff != 0:
+                    raise SystemExit(
+                        f"{mode} diverges from {args.modes[0]}: max|Δ|={diff}"
+                    )
+                print(f"  {mode}: bit-identical to {args.modes[0]}", file=sys.stderr)
+
+            secs = time_on_device(
+                lambda x: macenko_transform_mega(x, he, tmc), batch, runs=args.runs
             )
-            assert diff == 0, f"{mode} diverges from {args.modes[0]}: max|Δ|={diff}"
-            print(f"  {mode}: bit-identical to {args.modes[0]}", file=sys.stderr)
-
-        secs = time_on_device(
-            lambda x: macenko_transform_mega(x, he, tmc), batch, runs=args.runs
-        )
-        mpix = args.batch * args.size * args.size / 1e6
-        print(f"{mode:9s}: {secs * 1e3:.2f} ms/batch, {mpix / secs:.0f} MPix/s")
-
-    sel.DESCENT_MODE = "auto"
+            mpix = args.batch * args.size * args.size / 1e6
+            print(f"{mode:9s}: {secs * 1e3:.2f} ms/batch, {mpix / secs:.0f} MPix/s")
+    finally:
+        # Never leave the process-global strategy pinned for in-process callers.
+        sel.DESCENT_MODE = "auto"
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 import jax
 import numpy as np
 
-from benchmarks.utils import mae, synthetic_he_batch, time_on_device
+from benchmarks.utils import canonical_method, mae, synthetic_he_batch, time_on_device
 
 BATCH = 128
 SIZE = 256
@@ -44,12 +44,15 @@ def _oracle(method, ref, src):
 
 def main() -> None:
     p = argparse.ArgumentParser()
-    p.add_argument("--method", default="macenko", choices=["macenko", "reinhard", "histogram_matching", "hm"])
+    p.add_argument(
+        "--method",
+        default="macenko",
+        type=canonical_method,
+        choices=["macenko", "reinhard", "histogram_matching"],
+    )
     p.add_argument("--runs", type=int, default=10)
     p.add_argument("--json", action="store_true")
     args = p.parse_args()
-    if args.method == "hm":
-        args.method = "histogram_matching"
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/stainx_jax_cache")
 

@@ -68,5 +68,11 @@ def time_on_device(step: Callable, init, runs: int = 20) -> float:
     return max(total - base, 1e-9) / runs
 
 
+def canonical_method(name: str) -> str:
+    """argparse `type=` canonicalizer: applied before the choices check, so
+    `--method hm` resolves to histogram_matching in every benchmark CLI."""
+    return "histogram_matching" if name == "hm" else name
+
+
 def mae(a: np.ndarray, b: np.ndarray) -> float:
     return float(np.abs(np.asarray(a).astype(np.float32) - np.asarray(b).astype(np.float32)).mean())
