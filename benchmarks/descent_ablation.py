@@ -80,8 +80,13 @@ def main() -> None:
             mpix = args.batch * args.size * args.size / 1e6
             print(f"{mode:9s}: {secs * 1e3:.2f} ms/batch, {mpix / secs:.0f} MPix/s")
     finally:
-        # Never leave the process-global strategy pinned for in-process callers.
+        # Never leave the process-global strategy pinned for in-process
+        # callers — and drop every executable traced while a mode WAS
+        # pinned: jit caches key on the function, not the module global, so
+        # without clear_caches() an in-process caller would silently keep
+        # executing the last ablated mode (round-2 advisor finding).
         sel.DESCENT_MODE = "auto"
+        jax.clear_caches()
 
 
 if __name__ == "__main__":

@@ -261,8 +261,11 @@ def _mega_kernel(
     tmc0, tmc1 = params_ref[0, 0], params_ref[0, 1]
     stain = [[params_ref[0, 2 + 2 * c + k] for k in range(2)] for c in range(3)]
     # maxC floor — mirrors ops.macenko: keeps a uniform tile's 0/0 finite.
-    scale0 = tmc0 / jnp.maximum(maxc0, 1e-30)
-    scale1 = tmc1 / jnp.maximum(maxc1, 1e-30)
+    # Sign-preserving (|maxC| test): negative 99th-percentile concentrations
+    # on degenerate-but-real tiles divide through unchanged, like the
+    # reference (round-2 advisor finding).
+    scale0 = tmc0 / jnp.where(jnp.abs(maxc0) > 1e-30, maxc0, 1e-30)
+    scale1 = tmc1 / jnp.where(jnp.abs(maxc1) > 1e-30, maxc1, 1e-30)
 
     cn0 = c0 * scale0
     cn1 = c1 * scale1

@@ -306,11 +306,17 @@ def macenko_transform(
 
     tmc = target_max_conc.reshape(-1).astype(jnp.float32)
     # maxC floor: a uniform (background) tile yields all-zero concentrations
-    # and maxC == 0 — tmc/0 = inf then 0·inf = NaN. maximum() is
-    # value-identical for any real tile (maxC ≫ 1e-30), and division bits
+    # and maxC == 0 — tmc/0 = inf then 0·inf = NaN. The guard is
+    # SIGN-PRESERVING (|maxC| test, not a max clamp): a degenerate-but-real
+    # tile (pen ink / control marker) can have a NEGATIVE 99th-percentile
+    # concentration, and the reference divides through it unchanged
+    # (``torch_backend.py:452``) — clamping it to +1e-30 produced a ~1e30
+    # scale and all-0/255 garbage (round-2 advisor finding). Division bits
     # depend only on operand values, so well-posed outputs are untouched.
-    cn0 = (c0 * (tmc[0] / jnp.maximum(max_c0, 1e-30))[:, None]).astype(recon_dtype)
-    cn1 = (c1 * (tmc[1] / jnp.maximum(max_c1, 1e-30))[:, None]).astype(recon_dtype)
+    safe_c0 = jnp.where(jnp.abs(max_c0) > 1e-30, max_c0, 1e-30)
+    safe_c1 = jnp.where(jnp.abs(max_c1) > 1e-30, max_c1, 1e-30)
+    cn0 = (c0 * (tmc[0] / safe_c0)[:, None]).astype(recon_dtype)
+    cn1 = (c1 * (tmc[1] / safe_c1)[:, None]).astype(recon_dtype)
 
     stain = stain_matrix.astype(jnp.float32)
     recon = [

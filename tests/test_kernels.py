@@ -349,6 +349,65 @@ class TestFusedMacenko:
         assert (np.ptp(out_xla.reshape(3, -1), axis=1) == 0.0).all()
         assert (np.ptp(out_fused.reshape(3, -1), axis=1) == 0.0).all()
 
+    def test_negative_max_concentration_tile(self):
+        """A degenerate-but-real tile (pen-ink/control-marker-like: OD mass
+        spanning an angular wedge > pi in the stain plane) yields a NEGATIVE
+        99th-percentile concentration for one stain channel. The maxC guard
+        must be sign-preserving like the reference's plain division
+        (``torch_backend.py:452``) — a ``maximum(maxC, 1e-30)`` clamp turned
+        the scale into ~1e30 and saturated ~100% of pixels (round-2 advisor
+        finding). Exact value parity is chaotic here (discrete percentile
+        picks flip between f32/f64 implementations), so the assertions are
+        behavioral: negative fitted maxC, finite output, low saturation."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.ops import macenko as mk
+
+        # OD design: bulk cluster at psi~0.1, a small anchor, a satellite
+        # clump at psi~-2.8 (wedge > pi so the extreme-angle stain vectors
+        # both point away from the bulk), diluted uniform background.
+        psi0, delta, n = 0.0, -2.8, 64
+        rng = np.random.default_rng(0)
+        P = n * n
+        n_bg, n_sat, n_anchor = 2560, 20, 16
+        n_bulk = P - n_bg - n_sat - n_anchor
+        d = np.ones(3) / np.sqrt(3)
+        t1 = np.array([1.0, -1.0, 0.0]) / np.sqrt(2)
+        t2 = np.array([1.0, 1.0, -2.0]) / np.sqrt(6)
+
+        def v(psi):
+            return np.cos(psi) * t1 + np.sin(psi) * t2
+
+        od = np.zeros((P, 3))
+        i = 0
+        psis = psi0 + rng.uniform(0.05, 0.2, n_bulk)
+        rs = rng.uniform(0.06, 0.10, n_bulk)
+        od[i : i + n_bulk] = 0.5 * d + rs[:, None] * np.stack([v(p) for p in psis])
+        i += n_bulk
+        od[i : i + n_anchor] = 0.5 * d + 0.08 * v(psi0 - 0.2)
+        i += n_anchor
+        ps = psi0 + delta + rng.uniform(-0.02, 0.02, n_sat)
+        od[i : i + n_sat] = 0.5 * d + 0.09 * np.stack([v(p) for p in ps])
+        i += n_sat
+        od[i:] = 0.17 * (0.5 * d + 0.08 * v(psi0 + 0.125))
+        tile = np.clip(np.round(240.0 * np.exp(-od) - 1.0), 0, 255).astype(np.uint8)
+        rng.shuffle(tile, axis=0)
+        tile = tile.T.reshape(1, 3, n, n)
+
+        # The tile's own fit must exercise the negative-maxC regime.
+        _, tmc_tile = mk.macenko_fit(jnp.asarray(tile))
+        assert float(np.asarray(tmc_tile)[1]) < -0.005
+
+        ref_img = oracle_tile(64, seed=3)
+        he, tmc = mk.macenko_fit(jnp.asarray(ref_img))
+        for out in (
+            mk.macenko_transform(jnp.asarray(tile), he, tmc, use_pallas=False),
+            mk._macenko_transform_fused(jnp.asarray(tile), he, tmc),
+        ):
+            o = np.asarray(out).astype(np.float32)
+            assert np.isfinite(o).all()
+            assert ((o == 0) | (o == 255)).mean() < 0.5
+
     def test_bf16_float_input_routes_to_xla(self):
         """Non-f32 float dtypes cannot lower through the fused kernels
         (f32 stores into a bf16 out_ref); the router must keep them on the
