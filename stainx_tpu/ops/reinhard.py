@@ -17,26 +17,50 @@ import jax.numpy as jnp
 from stainx_tpu.ops import color
 
 
-def lab_moments(images: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Per-channel LAB pixel count / sum / sum-of-squares — the additive
-    statistics that cross-chip ``psum`` reduces losslessly for distributed
-    batch-mode fitting (SURVEY §2.3).
+# Moments accumulate about this fixed shift (the middle of the 8-bit LAB
+# encoding, where all three channels cluster): ``Σx²−(Σx)²/n`` on raw values
+# cancels catastrophically in f32 for low-variance channels (a 32² tile's
+# a-channel came out 0.65% wrong); centering makes the surviving term the
+# variance itself. Center choice does not change mean/std algebraically.
+LAB_MOMENT_CENTER = 128.0
+
+
+def lab_moments(
+    images: jnp.ndarray, weights: jnp.ndarray | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-channel CENTERED LAB pixel count / sum / sum-of-squares — the
+    additive statistics that cross-chip ``psum`` reduces losslessly for
+    distributed batch-mode fitting (SURVEY §2.3). Consume with
+    :func:`moments_to_mean_std`, which undoes the centering.
+
+    ``weights`` (optional, (N,) 0/1 float) marks which batch entries are
+    real — padded rows (uneven-batch sharding) contribute nothing.
 
     Returns ``(count, sum, sumsq)`` with shapes ``(), (3,), (3,)``.
     """
-    lab = color.rgb_to_lab(color.normalize_to_float(images), channel_axis=1)
-    n = jnp.asarray(lab.shape[0] * lab.shape[2] * lab.shape[3], jnp.float32)
-    s = jnp.sum(lab, axis=(0, 2, 3))
-    sq = jnp.sum(lab * lab, axis=(0, 2, 3))
+    lab = color.rgb_to_lab(color.normalize_to_float(images), channel_axis=1) - LAB_MOMENT_CENTER
+    if weights is None:
+        n = jnp.asarray(lab.shape[0] * lab.shape[2] * lab.shape[3], jnp.float32)
+        s = jnp.sum(lab, axis=(0, 2, 3))
+        sq = jnp.sum(lab * lab, axis=(0, 2, 3))
+        return n, s, sq
+    # Elementwise weighted combine (NOT einsum: TPU f32 contractions
+    # default to bf16-input MXU passes — CLAUDE.md landmine).
+    w = weights.astype(jnp.float32)[:, None]
+    hw = jnp.float32(lab.shape[2] * lab.shape[3])
+    n = jnp.sum(w) * hw
+    s = jnp.sum(jnp.sum(lab, axis=(2, 3)) * w, axis=0)
+    sq = jnp.sum(jnp.sum(lab * lab, axis=(2, 3)) * w, axis=0)
     return n, s, sq
 
 
 def moments_to_mean_std(n, s, sq) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Bessel-corrected mean/std from additive moments (matches ``torch.std``
-    which defaults to unbiased, ``torch_backend.py:321``)."""
-    mean = s / n
-    var = jnp.maximum(sq - n * mean * mean, 0.0) / jnp.maximum(n - 1.0, 1.0)
-    return mean, jnp.sqrt(var)
+    """Bessel-corrected mean/std from :func:`lab_moments`-centered additive
+    moments (matches ``torch.std`` which defaults to unbiased,
+    ``torch_backend.py:321``)."""
+    mean_c = s / n
+    var = jnp.maximum(sq - n * mean_c * mean_c, 0.0) / jnp.maximum(n - 1.0, 1.0)
+    return mean_c + LAB_MOMENT_CENTER, jnp.sqrt(var)
 
 
 @jax.jit
@@ -106,11 +130,14 @@ def reinhard_transform(
     return color.preserve_dtype(rgb, original_dtype, was_uint8, result_in_0_255_range=False)
 
 
-def reinhard_fit_sharded(images: jnp.ndarray, *, axis_name: str) -> tuple[jnp.ndarray, jnp.ndarray]:
+def reinhard_fit_sharded(
+    images: jnp.ndarray, *, axis_name: str, weights: jnp.ndarray | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed fit: additive LAB moments reduced with ``psum`` across
     ``axis_name``. Call inside ``shard_map`` — exact (not approximate) because
-    mean/std are additive in (n, Σx, Σx²). See SURVEY §2.3 / §5."""
-    n, s, sq = lab_moments(images)
+    mean/std are additive in (n, Σx, Σx²). ``weights`` marks real batch rows
+    when the global batch was zero-padded to the mesh axis. See SURVEY §2.3 / §5."""
+    n, s, sq = lab_moments(images, weights)
     n = jax.lax.psum(n, axis_name)
     s = jax.lax.psum(s, axis_name)
     sq = jax.lax.psum(sq, axis_name)

@@ -27,23 +27,36 @@ from stainx_tpu.parallel.percentile import distributed_masked_percentile
 # --------------------------------------------------------------- Reinhard
 
 
-def reinhard_fit_sharded(images, axis_name):
+def reinhard_fit_sharded(images, axis_name, weights=None):
     """Exact distributed Reinhard fit: psum of (n, Σx, Σx²) LAB moments
-    (delegates to the single implementation in :mod:`stainx_tpu.ops.reinhard`)."""
-    return reinhard_ops.reinhard_fit_sharded(images, axis_name=axis_name)
+    (delegates to the single implementation in :mod:`stainx_tpu.ops.reinhard`).
+    ``weights`` ((N_local,) 0/1 float, optional) marks real rows when the
+    global batch was zero-padded to divide the mesh axis."""
+    return reinhard_ops.reinhard_fit_sharded(images, axis_name=axis_name, weights=weights)
 
 
-def reinhard_transform_sharded(images, reference_mean, reference_std, axis_name):
+def reinhard_transform_sharded(images, reference_mean, reference_std, axis_name, weights=None):
     """Sharded Reinhard transform with **batch-global** source statistics
     (the reference normalizes with whole-batch LAB mean/std,
-    ``torch_backend.py:344-349`` — so a sharded batch needs a psum)."""
+    ``torch_backend.py:344-349`` — so a sharded batch needs a psum).
+    ``weights`` excludes zero-padded rows from the source statistics; the
+    padded rows' outputs are garbage and must be sliced off by the caller."""
     original_dtype = images.dtype
     was_uint8 = original_dtype == jnp.uint8
     lab = color.rgb_to_lab(color.normalize_to_float(images), channel_axis=1)
 
-    n = jnp.asarray(lab.shape[0] * lab.shape[2] * lab.shape[3], jnp.float32)
-    s = jnp.sum(lab, axis=(0, 2, 3))
-    sq = jnp.sum(lab * lab, axis=(0, 2, 3))
+    # Centered additive moments (see ops.reinhard.LAB_MOMENT_CENTER —
+    # raw Σx² cancels catastrophically in f32 for low-variance channels).
+    lab_c = lab - reinhard_ops.LAB_MOMENT_CENTER
+    if weights is None:
+        n = jnp.asarray(lab.shape[0] * lab.shape[2] * lab.shape[3], jnp.float32)
+        s = jnp.sum(lab_c, axis=(0, 2, 3))
+        sq = jnp.sum(lab_c * lab_c, axis=(0, 2, 3))
+    else:
+        w = weights.astype(jnp.float32)[:, None]
+        n = jnp.sum(w) * jnp.float32(lab.shape[2] * lab.shape[3])
+        s = jnp.sum(jnp.sum(lab_c, axis=(2, 3)) * w, axis=0)
+        sq = jnp.sum(jnp.sum(lab_c * lab_c, axis=(2, 3)) * w, axis=0)
     n = jax.lax.psum(n, axis_name)
     s = jax.lax.psum(s, axis_name)
     sq = jax.lax.psum(sq, axis_name)
@@ -59,26 +72,43 @@ def reinhard_transform_sharded(images, reference_mean, reference_std, axis_name)
 # ------------------------------------------------------- Histogram matching
 
 
-def hm_fit_sharded(images, axis_name, channel_axis: int = 1):
-    """Exact distributed HM fit: histograms are additive → one psum."""
+def _local_histogram(images_u8, weights):
+    """Per-channel 256-bin counts over the local shard, excluding rows with
+    weight 0: zeroed-out rows land every pixel in bin 0, which is then
+    corrected by an exact subtraction (the same trick
+    ``hm_ops.histogram_256`` uses for its own chunk padding)."""
+    n, c, h, w = images_u8.shape
+    if weights is not None:
+        valid = (weights > 0).astype(images_u8.dtype)
+        images_u8 = images_u8 * valid[:, None, None, None]
+    flat = jnp.transpose(images_u8, (1, 0, 2, 3)).reshape(c, n * h * w)
+    counts = hm_ops.histogram_256(flat)
+    if weights is not None:
+        n_invalid_px = (jnp.float32(n) - jnp.sum((weights > 0).astype(jnp.float32))) * (h * w)
+        counts = counts.at[:, 0].add(-n_invalid_px)
+    return counts
+
+
+def hm_fit_sharded(images, axis_name, channel_axis: int = 1, weights=None):
+    """Exact distributed HM fit: histograms are additive → one psum.
+    ``weights`` excludes zero-padded rows (uneven-batch sharding)."""
     images_cf, _ = hm_ops._to_channels_first(images, channel_axis)
     images_u8, _ = color.images_to_uint8(images_cf)
-    n, c, h, w = images_u8.shape
-    flat = jnp.transpose(images_u8, (1, 0, 2, 3)).reshape(c, n * h * w)
-    counts = jax.lax.psum(hm_ops.histogram_256(flat), axis_name)
+    counts = jax.lax.psum(_local_histogram(images_u8, weights), axis_name)
     return counts / (jnp.sum(counts, axis=1, keepdims=True) + 1e-8)
 
 
 # ----------------------------------------------------------------- Macenko
 
 
-def macenko_fit_sharded(images, axis_name, percentile_levels: int = 0):
+def macenko_fit_sharded(images, axis_name, percentile_levels: int = 0, weights=None):
     """Distributed Macenko fit over a sharded pixel pool.
 
     The covariance comes from psum'd additive masked moments (the 10-scalar
     accumulator layout, ``csrc/macenko.cu:156-190``, which distributes
     losslessly); φ and concentration percentiles use the global-histogram
-    refinement. Returns replicated ``(HE (3,2), maxC (2,))``.
+    refinement. ``weights`` ((N_local,) 0/1) excludes zero-padded rows'
+    pixels from every mask. Returns replicated ``(HE (3,2), maxC (2,))``.
     """
     images_float = color.normalize_to_float(images)
     n, _, h, w = images_float.shape
@@ -87,8 +117,15 @@ def macenko_fit_sharded(images, axis_name, percentile_levels: int = 0):
     od = macenko_ops.optical_density(images_float)
     od_c = tuple(od[:, i].reshape(1, p_local) for i in range(3))
 
+    valid = None
+    if weights is not None:
+        # Pixel ordering of the (1, P_local) planes is batch-major.
+        valid = jnp.repeat(weights > 0, h * w).reshape(1, p_local)
+
     od_min = jnp.minimum(jnp.minimum(od_c[0], od_c[1]), od_c[2])
     mask = od_min >= macenko_ops.BETA  # (1, P_local)
+    if valid is not None:
+        mask = mask & valid
     weights = mask.astype(jnp.float32)
 
     cnt_l, s1_l, s2_l = macenko_ops.masked_od_moments(od_c, weights)
@@ -115,7 +152,11 @@ def macenko_fit_sharded(images, axis_name, percentile_levels: int = 0):
     he = macenko_ops._he_from_phi_extremes(evecs, min_phi[None], max_phi[None])  # (1,3,2)
     c0, c1 = macenko_ops._concentrations_2x2(he, od_c)
 
-    all_mask = jnp.ones((2, p_local), bool)
+    all_mask = (
+        jnp.ones((2, p_local), bool)
+        if valid is None
+        else jnp.concatenate([valid, valid], axis=0)
+    )
     max_conc = distributed_masked_percentile(
         jnp.stack([c0[0], c1[0]]), all_mask, (99, 99), axis_name, levels=percentile_levels
     )
@@ -146,15 +187,30 @@ _FIT_SHARDED = {
 
 
 @lru_cache(maxsize=None)
-def _fit_runner(method: str, mesh: Mesh, batch_axis: str):
+def _fit_runner(method: str, mesh: Mesh, batch_axis: str, weighted: bool = False):
     fit_fn = _FIT_SHARDED[method]
+    batch_spec = PartitionSpec(batch_axis)
+
+    if weighted:
+
+        @jax.jit
+        def run(imgs, w):
+            return jax.shard_map(
+                lambda im, wl: fit_fn(im, batch_axis, weights=wl),
+                mesh=mesh,
+                in_specs=(batch_spec, batch_spec),
+                out_specs=PartitionSpec(),
+                check_vma=False,
+            )(imgs, w)
+
+        return run
 
     @jax.jit
     def run(imgs):
         return jax.shard_map(
             lambda im: fit_fn(im, batch_axis),
             mesh=mesh,
-            in_specs=PartitionSpec(batch_axis),
+            in_specs=batch_spec,
             out_specs=PartitionSpec(),
             check_vma=False,
         )(imgs)
@@ -162,14 +218,48 @@ def _fit_runner(method: str, mesh: Mesh, batch_axis: str):
     return run
 
 
+def _axis_size(mesh: Mesh, batch_axis: str) -> int:
+    if batch_axis not in mesh.shape:
+        raise ValueError(
+            f"batch_axis '{batch_axis}' is not an axis of the mesh "
+            f"(mesh axes: {tuple(mesh.shape)})."
+        )
+    return mesh.shape[batch_axis]
+
+
+def _pad_to_axis(images, axis_size: int):
+    """Zero-pad the batch so N divides the mesh axis; returns
+    ``(padded, weights-or-None, original_n)``. The weights vector (0/1,
+    padded length) is sharded alongside the images so the ``*_sharded``
+    statistics exclude the padded rows exactly — the reference's L5 accepts
+    arbitrary N (``src/stainx/transforms.py:218-230``), so the mesh path
+    must too rather than surface a raw XLA sharding error."""
+    n = images.shape[0]
+    if n % axis_size == 0:
+        return images, None, n
+    pad_to = ((n + axis_size - 1) // axis_size) * axis_size
+    pad = jnp.zeros((pad_to - n, *images.shape[1:]), images.dtype)
+    weights = (jnp.arange(pad_to) < n).astype(jnp.float32)
+    return jnp.concatenate([images, pad], axis=0), weights, n
+
+
 def fit_on_mesh(method: str, images, mesh: Mesh, batch_axis: str = "batch"):
     """Jit + shard_map a distributed fit over ``mesh`` with N sharded on
-    ``batch_axis``. Returns replicated fitted parameters (a tuple for
-    reinhard/macenko, a (C, 256) array for histogram_matching)."""
+    ``batch_axis``; any batch size is accepted (uneven N is zero-padded and
+    excluded from the statistics via a sharded weights vector). Returns
+    replicated fitted parameters (a tuple for reinhard/macenko, a (C, 256)
+    array for histogram_matching)."""
     if method not in _FIT_SHARDED:
         raise ValueError(f"Unknown method '{method}'. Choose from {sorted(_FIT_SHARDED)}")
-    sharded = jax.device_put(images, NamedSharding(mesh, PartitionSpec(batch_axis)))
-    return _fit_runner(method, mesh, batch_axis)(sharded)
+    images = jnp.asarray(images)
+    padded, weights, _ = _pad_to_axis(images, _axis_size(mesh, batch_axis))
+    spec = NamedSharding(mesh, PartitionSpec(batch_axis))
+    sharded = jax.device_put(padded, spec)
+    if weights is None:
+        return _fit_runner(method, mesh, batch_axis)(sharded)
+    return _fit_runner(method, mesh, batch_axis, weighted=True)(
+        sharded, jax.device_put(weights, spec)
+    )
 
 
 @lru_cache(maxsize=None)
@@ -179,11 +269,26 @@ def _transform_runner(
     batch_axis: str,
     precision: str = "stable",
     use_pallas: bool = False,
+    weighted: bool = False,
 ):
     batch_spec = PartitionSpec(batch_axis)
     repl = PartitionSpec()
 
     if method == "reinhard":
+        if weighted:
+
+            @jax.jit
+            def run(imgs, w, mean, std):
+                return jax.shard_map(
+                    lambda im, wl, m, s: reinhard_transform_sharded(
+                        im, m, s, batch_axis, weights=wl
+                    ),
+                    mesh=mesh,
+                    in_specs=(batch_spec, batch_spec, repl, repl),
+                    out_specs=batch_spec,
+                )(imgs, w, mean, std)
+
+            return run
 
         @jax.jit
         def run(imgs, mean, std):
@@ -199,7 +304,9 @@ def _transform_runner(
     if method == "macenko":
         # shard_map (not bare GSPMD propagation): Pallas kernels are not
         # auto-partitionable, so each shard runs the full local transform —
-        # which needs zero communication (per-image op).
+        # which needs zero communication (per-image op). Padded rows need no
+        # weights either: per-image outputs are garbage only on the padded
+        # rows, which the caller slices off.
         @jax.jit
         def run(imgs, he, tmc):
             return jax.shard_map(
@@ -217,6 +324,19 @@ def _transform_runner(
     if method == "histogram_matching":
         # Batch-global source CDFs: each shard psums its source histogram
         # over ``batch_axis`` (hm_transform_sharded) for exact batch parity.
+        if weighted:
+
+            @jax.jit
+            def run(imgs, w, hists):
+                return jax.shard_map(
+                    lambda im, wl, hs: hm_transform_sharded(im, hs, batch_axis, weights=wl),
+                    mesh=mesh,
+                    in_specs=(batch_spec, batch_spec, repl),
+                    out_specs=batch_spec,
+                )(imgs, w, hists)
+
+            return run
+
         @jax.jit
         def run(imgs, hists):
             return jax.shard_map(
@@ -234,35 +354,52 @@ def _transform_runner(
 def transform_on_mesh(method: str, images, params, mesh: Mesh, batch_axis: str = "batch", **kwargs):
     """Batch-parallel transform: shard N over ``batch_axis``; Macenko/HM need
     zero communication (per-image ops), Reinhard psums its batch-global
-    source statistics."""
-    sharded = jax.device_put(images, NamedSharding(mesh, PartitionSpec(batch_axis)))
+    source statistics. Any batch size is accepted — uneven N (including a
+    single image) is zero-padded to the mesh axis, excluded from the
+    batch-global statistics, and sliced off the output."""
+    if method not in _FIT_SHARDED:
+        raise ValueError(f"Unknown method '{method}'. Choose from {sorted(_FIT_SHARDED)}")
+    images = jnp.asarray(images)
+    padded, weights, n = _pad_to_axis(images, _axis_size(mesh, batch_axis))
+    spec = NamedSharding(mesh, PartitionSpec(batch_axis))
+    sharded = jax.device_put(padded, spec)
+    # Macenko is per-image: padded rows can't contaminate real outputs.
+    weighted = weights is not None and method != "macenko"
     run = _transform_runner(
         method,
         mesh,
         batch_axis,
         kwargs.get("precision", "stable"),
         kwargs.get("use_pallas", False),
+        weighted,
     )
+    w_args = (jax.device_put(weights, spec),) if weighted else ()
     replicated = NamedSharding(mesh, PartitionSpec())
     if method in ("reinhard", "macenko"):
         p0, p1 = (jax.device_put(jnp.asarray(p), replicated) for p in params)
-        return run(sharded, p0, p1)
-    return run(sharded, jax.device_put(jnp.asarray(params, jnp.float32), replicated))
+        out = run(sharded, *w_args, p0, p1)
+    else:
+        out = run(sharded, *w_args, jax.device_put(jnp.asarray(params, jnp.float32), replicated))
+    return out[:n] if padded.shape[0] != n else out
 
 
-def hm_transform_sharded(images, ref_histograms, axis_name, channel_axis: int = 1):
+def hm_transform_sharded(images, ref_histograms, axis_name, channel_axis: int = 1, weights=None):
     """Sharded HM transform with **batch-global** source CDFs (the reference
     builds one source histogram over the whole batch per channel,
-    ``torch_backend.py:228-236`` — additive, so one psum)."""
+    ``torch_backend.py:228-236`` — additive, so one psum). ``weights``
+    excludes zero-padded rows from the source histogram; their outputs are
+    garbage and must be sliced off by the caller."""
     original_dtype = images.dtype
     images_cf, needs_permute = hm_ops._to_channels_first(images, channel_axis)
     was_uint8 = images_cf.dtype == jnp.uint8
     images_u8, needs_scale_back = color.images_to_uint8(images_cf)
     n, c, h, w = images_u8.shape
 
-    flat = jnp.transpose(images_u8, (1, 0, 2, 3)).reshape(c, n * h * w)
-    counts = jax.lax.psum(hm_ops.histogram_256(flat), axis_name)
-    total = jax.lax.psum(jnp.float32(n * h * w), axis_name)
+    counts = jax.lax.psum(_local_histogram(images_u8, weights), axis_name)
+    n_valid = (
+        jnp.float32(n) if weights is None else jnp.sum((weights > 0).astype(jnp.float32))
+    )
+    total = jax.lax.psum(n_valid * (h * w), axis_name)
     lut = hm_ops.hm_build_lut(counts, jnp.asarray(ref_histograms, jnp.float32), total)
 
     matched = hm_ops._apply_lut(images_u8, lut)
