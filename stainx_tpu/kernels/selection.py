@@ -63,6 +63,19 @@ def _unkey(key):
 _SENTINEL_KEY = 0xFF800000  # _monotone_key(+inf)
 
 
+def _f32_from_ik_scalar(ik):
+    """f32 value whose monotone key has signed view ``ik`` — the scalar
+    inverse of ``_ikey_view ∘ _monotone_key``. Mosaic has no SCALAR
+    bitcasts, so the final int32→f32 bit reinterpretation rides a tiny
+    (8, 128) vector broadcast + reduce (vector bitcasts lower fine)."""
+    key_i = ik ^ jnp.int32(-0x80000000)  # key bits, int32 view
+    # _unkey: sign nibble of the KEY picks the flip constant.
+    flip = jnp.where(key_i < 0, jnp.int32(-0x80000000), jnp.int32(-1))
+    bits = key_i ^ flip
+    tile = jnp.full((8, _LANE), bits, jnp.int32)
+    return jnp.max(jax.lax.bitcast_convert_type(tile, jnp.float32))
+
+
 def _ikey_view(key):
     """Order-preserving signed view (Mosaic has no unsigned reductions)."""
     return jax.lax.bitcast_convert_type(key ^ jnp.uint32(0x80000000), jnp.int32)
@@ -137,9 +150,13 @@ _NS = 8  # scalars of while-carry per descent
 #             nibble at once, terminates bit-identical groups, and
 #             tightens the probe span — the dep contraction's three
 #             benefits one iteration later, without its second sync.
-#   "interval"/"interval8" — radix-free interpolation+bisection search on
-#             the signed key view (see interval_descend_multi), 4 or 8
-#             cuts per iteration.
+#   "interval"/"interval8"/"interval16" — radix-free interpolation+
+#             bisection search on the signed key view (see
+#             interval_descend_multi), 4, 8 or 16 cuts per iteration.
+#             interval16 (15 even quantiles + interpolant: guaranteed 16×
+#             narrowing) measured a clear LOSS — 1 334–1 545 MPix/s vs
+#             ~3 000 for the 4-cut form at 224²/512²; kept as an ablation
+#             mode only.
 #   "ikdep" — dep's exact algorithm, but every compare runs on a HOISTED
 #             signed-key array against scalar key-space bucket bounds:
 #             no per-iteration group shift, igroup xor, or ik recompute —
@@ -667,6 +684,13 @@ def interval_descend_multi(selects, n_cuts: int = 4):
 
             if n_cuts == 4:
                 raw = [toi(c_hat - w), toi(c_hat), toi(c_hat + w), mid]
+            elif n_cuts == 16:
+                # Full 16-ary ladder (VERDICT-r2 "full-count" experiment in
+                # value space): 15 even quantiles (midpoint included — the
+                # bisection guarantee) + the interpolated rank estimate.
+                # Guarantees 16× narrowing per iteration; count passes are
+                # nearly free next to the sync (measured 16-vs-1 ≈ +17%).
+                raw = [toi(fklo + span * (i / 16.0)) for i in range(1, 16)] + [toi(c_hat)]
             else:
                 # Interp cluster + a quantile ladder (midpoint included —
                 # the bisection guarantee).
@@ -768,11 +792,38 @@ def radix_select_multi(selects, keyed: bool = False, mode: str | None = None):
         descended = interval_descend_multi(
             [(key, rank) for key, rank, _f in selects], n_cuts=n_cuts
         )
+        if keyed:
+            # The interval descent terminates with ``klo`` == the selected
+            # element's exact signed key, and keyed fields are bijective in
+            # the key — so the value comes from the SCALAR klo alone; no
+            # member-mask row pass at all.
+            return [
+                [_f32_from_ik_scalar(klo) for _ in fields]
+                for (_k, _r, fields), (_ik, klo) in zip(selects, descended)
+            ]
         members = [ik == klo for ik, klo in descended]
     else:
         radix = radix_descend_multi(
             [(key, rank) for key, rank, _fields in selects], mode=mode
         )
+        if keyed and mode in ("dep", "ikdep", "spec6", "spec4"):
+            # These modes set ``done`` ONLY via ``cit >= 8`` (and the loop
+            # cond also requires ``it < 8``), so every exit carries the
+            # FULL 32-bit prefix — the selected element's exact key. Keyed
+            # fields are bijective in the key, so the value comes from the
+            # SCALAR prefix alone: no member-mask row pass, no final
+            # vector→scalar sync per select. (``nocon``/``defer`` can exit
+            # on a singleton bucket with a partial prefix and must keep the
+            # member path.)
+            return [
+                [
+                    _f32_from_ik_scalar(
+                        prefix.astype(jnp.int32) ^ jnp.int32(-0x80000000)
+                    )
+                    for _ in fields
+                ]
+                for (_k, _r, fields), (prefix, _it) in zip(selects, radix)
+            ]
         members = [
             member_mask(key, prefix, it)
             for (key, _r, _f), (prefix, it) in zip(selects, radix)
