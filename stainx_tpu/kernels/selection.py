@@ -592,6 +592,19 @@ def radix_descend_multi(selects, mode: str | None = None):
     return [(state[_NS * d], state[_NS * d + 2]) for d in range(n_sel)]
 
 
+def _sort_scalars(vals):
+    """Odd-even transposition network — pure scalar min/max, trivially
+    cheap next to a row pass."""
+    vals = list(vals)
+    k = len(vals)
+    for rnd in range(k):
+        start = rnd & 1
+        for i in range(start, k - 1, 2):
+            a, b = vals[i], vals[i + 1]
+            vals[i], vals[i + 1] = jnp.minimum(a, b), jnp.maximum(a, b)
+    return vals
+
+
 def interval_descend_multi(selects, n_cuts: int = 4):
     """Fused rank selection by **interval descent** on the signed key view:
     interpolation search with a bisection guarantee, no radix structure.
@@ -648,18 +661,6 @@ def interval_descend_multi(selects, n_cuts: int = 4):
         for d in range(n_sel):
             alive = alive | jnp.logical_not(state[_S * d + 4])
         return alive
-
-    def _sort_scalars(vals):
-        # Odd-even transposition network — pure scalar min/max, trivially
-        # cheap next to a row pass.
-        vals = list(vals)
-        k = len(vals)
-        for rnd in range(k):
-            start = rnd & 1
-            for i in range(start, k - 1, 2):
-                a, b = vals[i], vals[i + 1]
-                vals[i], vals[i + 1] = jnp.minimum(a, b), jnp.maximum(a, b)
-        return vals
 
     def body(state):
         new_state = []
