@@ -31,7 +31,7 @@ def main() -> None:
         default=["dep", "ikdep", "interval"],
         choices=[
             "dep", "ikdep", "spec6", "spec4", "nocon", "defer",
-            "interval", "interval8", "interval16", "auto",
+            "interval", "interval8", "interval16", "interval256", "auto",
         ],
     )
     args = ap.parse_args()

@@ -2,9 +2,13 @@
 img/s) on the reference protocol — batch 128 × 256×256 RGB uint8
 (``benchmarks/pareto_time_mae.py:51-52`` in the reference; its version
 sweeps ~10 external packages, which aren't installable here — ours sweeps
-this library's execution modes against the numpy oracle).
+this library's execution modes against the numpy oracle, plus the mounted
+reference's own torch-CPU backend as an external peer series).
 
-Modes: TPU stable, TPU fast, numpy oracle (single-threaded CPU floor).
+Modes: TPU stable, TPU fast, numpy oracle (single-threaded CPU floor),
+reference-torch-cpu (the reference package itself, imported from
+``/root/reference/src`` and run on torch CPU — the non-self-referential
+point the reference's cross-package sweep provides upstream).
 
 Usage: ``python -m benchmarks.pareto_time_mae [--method macenko] [--json]``
 """
@@ -100,6 +104,33 @@ def main() -> None:
         hist = hm_ops.hm_fit(jax.device_put(ref))
         device_mode("tpu", lambda x: hm_ops.hm_transform(x, hist))
         device_mode("tpu_pallas", lambda x: hm_ops.hm_transform(x, hist, use_pallas=True))
+
+    # External peer: the reference package itself on torch CPU (importable
+    # from the mounted repo; validated upstream against torchstain /
+    # scikit-image at its own tolerances).
+    from oracles import reference_torch as ref_torch
+
+    if ref_torch.available():
+        if args.method == "macenko":
+            he_r, mc_r = ref_torch.macenko_fit(ref)
+            peer = lambda: ref_torch.macenko_transform(src, he_r, mc_r)
+        elif args.method == "reinhard":
+            peer = lambda: ref_torch.reinhard(ref, src)
+        else:
+            peer = lambda: ref_torch.histogram_matching(ref, src)
+        peer_out = peer()  # warm caches / JIT-free but first-call effects
+        t0 = time.perf_counter()
+        n_peer = 3
+        for _ in range(n_peer):
+            peer_out = peer()
+        peer_secs = (time.perf_counter() - t0) / n_peer
+        rows.append(
+            {
+                "mode": "reference-torch-cpu",
+                "img_per_s": round(BATCH / peer_secs, 2),
+                "mae": round(mae(peer_out.astype(np.float32), expected), 4),
+            }
+        )
 
     for row in rows:
         row["method"] = args.method

@@ -605,6 +605,18 @@ def _sort_scalars(vals):
     return vals
 
 
+def _insert_sorted(sorted_vals, x):
+    """Insert scalar ``x`` into the ascending list ``sorted_vals`` — 2 ops
+    per slot; O(k) where the full network is O(k²) (matters for the wide
+    ladders: 256 cuts would cost 65K scalar ops through the network)."""
+    k = len(sorted_vals)
+    out = [jnp.minimum(sorted_vals[0], x)]
+    for m in range(1, k):
+        out.append(jnp.minimum(jnp.maximum(sorted_vals[m - 1], x), sorted_vals[m]))
+    out.append(jnp.maximum(sorted_vals[k - 1], x))
+    return out
+
+
 def interval_descend_multi(selects, n_cuts: int = 4):
     """Fused rank selection by **interval descent** on the signed key view:
     interpolation search with a bisection guarantee, no radix structure.
@@ -692,6 +704,14 @@ def interval_descend_multi(selects, n_cuts: int = 4):
                 # Guarantees 16× narrowing per iteration; count passes are
                 # nearly free next to the sync (measured 16-vs-1 ≈ +17%).
                 raw = [toi(fklo + span * (i / 16.0)) for i in range(1, 16)] + [toi(c_hat)]
+            elif n_cuts == 256:
+                # Byte-wide levels (VERDICT-r2 experiment (b)): 255 even
+                # quantiles + interpolant — guaranteed 256× narrowing, ≤ 4
+                # descents from the f32 key space. Even cuts are already
+                # sorted; single insertion for the interpolant.
+                evens = [toi(fklo + span * (i / 256.0)) for i in range(1, 256)]
+                cuts = _insert_sorted(evens, toi(c_hat))
+                raw = None
             else:
                 # Interp cluster + a quantile ladder (midpoint included —
                 # the bisection guarantee).
@@ -705,7 +725,8 @@ def interval_descend_multi(selects, n_cuts: int = 4):
                     mid,
                     toi(fklo + span * 0.75),
                 ]
-            cuts = _sort_scalars(raw)
+            if raw is not None:
+                cuts = _sort_scalars(raw)
             nc = len(cuts)
 
             # --- vector phase: counts + contraction, one sync -------------

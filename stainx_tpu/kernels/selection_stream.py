@@ -4,35 +4,36 @@
 which caps rows at ~4M elements and peaks within 1% of the physical 128 MB
 VMEM at 2048² (the round-2 judge's "knife edge"). This kernel removes row
 residency entirely: the field stays in **HBM**, each descent sweep streams
-it through a double-buffered VMEM chunk pair (2 × 4 MB), and the carried
-state is five scalars per descent — so the row-size ceiling is the int32
-rank space (~2.1 G elements), not VMEM.
+it through a double-buffered VMEM chunk pair, and the carried state is
+five scalars per descent — so the row-size ceiling is the int32 rank
+space (~2.1 G elements), not VMEM.
 
-Algorithm: the **interval descent** of
-:func:`stainx_tpu.kernels.selection.interval_descend_multi` with a full
-16-cut ladder — 15 even cuts of the current signed-key interval plus one
-rank-interpolated cut. Each sweep counts members at/below every cut and
-reduces the members' min/max (the contraction snap), then descends into
-the sub-interval holding the rank: narrowing is a GUARANTEED ≥16× per
-sweep (the bound that makes streaming affordable — ≤ 9 sweeps from the
-full int32 key space), and the snap terminates duplicate clusters early
-and pins the interval to occupied values. The 16-cut ladder loses on
-VMEM-resident rows (sync-bound: measured 1 334–1 545 vs ~3 000 MPix/s at
-224²/512²) but wins here, where every extra sweep costs a full HBM re-read
-of the row; counts fuse into a shared traversal (measured: 16 counts cost
-~17% more than 1).
+Algorithm: **interval descent** on the signed monotone-key view —
+``n_cuts - 1`` even cuts of the current interval plus one
+rank-interpolated cut per sweep, so narrowing is a GUARANTEED ≥ n_cuts×
+per sweep. Counting is *absolute-rank*: every count is ``#{ik ≤ cut}``
+over the whole row (ONE compare per count — no interval membership mask),
+and the carried ``below``/``at`` prefix counts localise the rank, so a
+sub-interval choice never rebases the rank. A min/max "snap" over the
+interval's members pins the bounds to occupied keys and terminates
+duplicate clusters early. Wide ladders lose on VMEM-resident rows
+(sync-bound: 16 cuts measured 1 334–1 545 vs ~3 000 MPix/s at 224²/512²)
+but win here, where every extra sweep costs a full HBM re-read of the
+row; counts fuse into a shared traversal (measured: 16 counts cost ~17%
+more than 1).
 
-The first sweep doubles as init: cuts split the whole int32 key space, the
-member count (computed by the same sweep) clamps the rank, and the min/max
-snap lands the interval on the data's true bounds — no separate init pass.
+With no ``init``, sweep 1 spans the whole int32 key space and doubles as
+the init pass (count + min/max snap land on the data's true bounds). The
+caller usually KNOWS the row min/max/count already (they fall out of the
+producer or the mask), so ``init=`` skips that discovery sweep entirely.
 
 Replaces the role of the reference's full-sort percentile machinery
 (``src/stainx_cuda_torch/csrc/macenko.cu:52-58,209-216``) for rows beyond
-the VMEM-resident kernel's comfortable budget. Bit-exact: counts are
-exact integers (chunk-accumulated int32 sums are associative), cuts are
-only probes, and the terminal ``klo == khi`` is the selected element's
-exact signed key — the value is recovered from that scalar alone (keyed
-selection; both Macenko call sites select the field by its own order).
+the VMEM-resident kernel's budget. Bit-exact: counts are exact integers
+(chunk-accumulated int32 sums are associative), cuts are only probes, and
+the terminal ``klo == khi`` is the selected element's exact signed key —
+the value is recovered from that scalar alone (keyed selection; both
+Macenko call sites select the field by its own order).
 """
 
 from __future__ import annotations
@@ -45,7 +46,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from stainx_tpu.kernels import interpret_mode
-from stainx_tpu.kernels.selection import _ikey_view, _monotone_key, _sort_scalars
+from stainx_tpu.kernels.selection import _ikey_view, _insert_sorted, _monotone_key
 
 _LANE = 128
 # Python ints (NOT jnp scalars): module-level jnp constants are concrete
@@ -53,30 +54,37 @@ _LANE = 128
 _SENT_IK = 0x7F800000  # signed view of the +inf sentinel key
 _I32MAX = 0x7FFFFFFF
 _I32MIN = -0x80000000
-_N_CUTS = 16
-_MAX_SWEEPS = 12  # guaranteed ≤ 9 (16× narrowing from 2^32); slack for safety
+_MAX_SWEEPS = 12  # ≥ guaranteed bound for every supported n_cuts
 # Per-buffer chunk: 8192 sublanes × 128 lanes × 4 B = 4 MB; two buffers keep
 # the DMA of chunk c+1 in flight under chunk c's count passes.
 CHUNK_SUB = 8192
 CHUNK_ELEMS = CHUNK_SUB * _LANE
 
+_NS = 5  # scalars of while-carry per descent: klo, khi, below, at, done
 
-def _cuts_16(klo, khi, r, n):
-    """16 sorted int32 cut points in [klo, khi-1]: 15 even subdivisions (in
-    uint32 arithmetic — sweep 1 spans the full int32 range, where float
-    cut math overflows the f32→int cast) plus one rank-interpolated cut."""
+
+def _cuts(klo, khi, below, at, r, n_cuts: int):
+    """``n_cuts`` sorted int32 cut points in [klo, min(khi, SENT-1)]:
+    ``n_cuts - 1`` even subdivisions (in uint32 arithmetic — a full-range
+    sweep spans the whole int32 space, where float cut math overflows the
+    f32→int cast) plus one rank-interpolated cut."""
+    top = jnp.minimum(khi, _SENT_IK - 1)
+    hi_cut = jnp.maximum(top - 1, klo)  # cuts live strictly inside, when possible
     uklo = klo.astype(jnp.uint32)
     span_u = khi.astype(jnp.uint32) - uklo  # exact: khi ≥ klo
-    step = span_u >> 4
+    step = span_u // jnp.uint32(n_cuts)
     evens = [
-        jnp.minimum((uklo + jnp.uint32(m) * step).astype(jnp.int32), khi - 1)
-        for m in range(1, 16)
+        jnp.minimum((uklo + jnp.uint32(m) * step).astype(jnp.int32), hi_cut)
+        for m in range(1, n_cuts)
     ]
-    # Interpolated cut: offset clamped to 2e9 < 2^31 so the f32→int cast
-    # stays defined (on sweep 1 the carried n is stale and the cut is just
-    # a wasted probe — the even ladder still guarantees the narrowing).
-    # Mosaic has no u32↔f32 casts — hop through int32 (values kept < 2^31).
-    frac = r.astype(jnp.float32) / jnp.maximum(n.astype(jnp.float32), 1.0)
+    # Interpolated cut: local rank fraction from the carried prefix counts.
+    # Offset clamped to 2e9 < 2^31 so the f32→int cast stays defined; with
+    # no init the first sweep's `at` is 0 and the cut is a wasted probe —
+    # the even ladder still guarantees the narrowing. Mosaic has no
+    # u32↔f32 casts — hop through int32 (values kept < 2^31).
+    frac = (r - below).astype(jnp.float32) / jnp.maximum(
+        (at - below).astype(jnp.float32), 1.0
+    )
     span_f = (span_u >> 1).astype(jnp.int32).astype(jnp.float32) * 2.0 + (
         span_u & 1
     ).astype(jnp.int32).astype(jnp.float32)
@@ -84,29 +92,42 @@ def _cuts_16(klo, khi, r, n):
     c_hat = jnp.clip(
         (uklo + off.astype(jnp.int32).astype(jnp.uint32)).astype(jnp.int32),
         klo,
-        khi - 1,
+        hi_cut,
     )
-    return _sort_scalars(evens + [c_hat])
+    return _insert_sorted(evens, c_hat)
 
 
-def _descend_step(klo, khi, r, n, done, cuts, cnt, nmem, gmin, gmax):
-    """Scalar phase of one sweep: clamp the rank (first sweep), pick the
-    sub-interval holding it, snap to the members' min/max. ``cnt`` are the
-    cumulative member counts at/below each sorted cut; ``nmem`` the member
-    count; ``gmin``/``gmax`` the members' key min/max. Identical math to
-    ``interval_descend_multi``'s scalar phase."""
-    empty = nmem == 0
-    r = jnp.clip(r, 0, jnp.maximum(nmem - 1, 0))
+def _sweep_masks(ik, klo, khi, cuts):
+    """Vector phase over a block of keys: absolute cumulative counts at
+    each sorted cut AND at the interval top (``n_cuts + 1`` single-compare
+    counts), plus the interval members' key min/max (the snap)."""
+    top = jnp.minimum(khi, jnp.int32(_SENT_IK - 1))
+    cnt = [jnp.sum((ik <= c).astype(jnp.int32)) for c in cuts]
+    cnt.append(jnp.sum((ik <= top).astype(jnp.int32)))
+    member = (ik >= klo) & (ik <= top)
+    gmin = jnp.min(jnp.where(member, ik, jnp.int32(_I32MAX)))
+    gmax = jnp.max(jnp.where(member, ik, jnp.int32(_I32MIN)))
+    return cnt, gmin, gmax
+
+
+def _descend_step(klo, khi, below, at, done, r, cuts, cnt, gmin, gmax):
+    """Scalar phase of one sweep: refresh ``at`` from the top count (sweep
+    1 of the no-init path carries a stale 0), clamp the rank, pick the
+    sub-interval holding it, snap to the members' min/max."""
     nc = len(cuts)
-    j = sum(((r >= cnt[m]).astype(jnp.int32) for m in range(nc)), jnp.int32(0))
+    at_new = cnt[nc]  # absolute count at the interval top
+    empty = at_new - below == 0
+    r_eff = jnp.clip(r, below, jnp.maximum(at_new - 1, below))
+    j = sum(((r_eff >= cnt[m]).astype(jnp.int32) for m in range(nc)), jnp.int32(0))
+    top = jnp.minimum(khi, _SENT_IK - 1)
     lo_raw, hi_raw = klo, cuts[0]
-    below, at = jnp.int32(0), cnt[0]
+    b_new, a_new = below, cnt[0]
     for m in range(1, nc + 1):
         is_j = j == m
         lo_raw = jnp.where(is_j, cuts[m - 1] + 1, lo_raw)
-        hi_raw = jnp.where(is_j, cuts[m] if m < nc else khi, hi_raw)
-        below = jnp.where(is_j, cnt[m - 1], below)
-        at = jnp.where(is_j, cnt[m] if m < nc else nmem, at)
+        hi_raw = jnp.where(is_j, cuts[m] if m < nc else top, hi_raw)
+        b_new = jnp.where(is_j, cnt[m - 1], b_new)
+        a_new = jnp.where(is_j, cnt[m] if m < nc else at_new, a_new)
     lo_n = jnp.maximum(lo_raw, gmin)
     hi_n = jnp.minimum(hi_raw, gmax)
     # Empty row: resolve to the sentinel (value +inf) — the resident
@@ -116,27 +137,15 @@ def _descend_step(klo, khi, r, n, done, cuts, cnt, nmem, gmin, gmax):
     return (
         jnp.where(done, klo, lo_n),
         jnp.where(done, khi, hi_n),
-        jnp.where(done, r, r - below),
-        jnp.where(done, n, at - below),
+        jnp.where(done, below, b_new),
+        jnp.where(done, at, a_new),
         done | (lo_n >= hi_n) | empty,
     )
 
 
-def _sweep_masks(ik, klo, khi, cuts):
-    """Vector phase of one sweep over a block of keys: per-cut cumulative
-    member counts, member count, member min/max — 19 fused reduces."""
-    member = (ik >= klo) & (ik <= khi) & (ik != jnp.int32(_SENT_IK))
-    cnt = [jnp.sum((member & (ik <= c)).astype(jnp.int32)) for c in cuts]
-    nmem = jnp.sum(member.astype(jnp.int32))
-    gmin = jnp.min(jnp.where(member, ik, jnp.int32(_I32MAX)))
-    gmax = jnp.max(jnp.where(member, ik, jnp.int32(_I32MIN)))
-    return cnt, nmem, gmin, gmax
-
-
-_NS = 5  # scalars of while-carry per descent
-
-
-def _stream_kernel(ranks_ref, ik_hbm, out_ref, buf, sem, *, k_ranks, n_chunks):
+def _stream_kernel(
+    ranks_ref, init_ref, ik_hbm, out_ref, buf, sem, *, k_ranks, n_chunks, n_cuts, has_init
+):
     i = pl.program_id(0)
 
     def get_dma(slot, c):
@@ -152,10 +161,15 @@ def _stream_kernel(ranks_ref, ik_hbm, out_ref, buf, sem, *, k_ranks, n_chunks):
     def body(state):
         it = state[0]
         per_d = [state[1 + _NS * d : 1 + _NS * (d + 1)] for d in range(k_ranks)]
-        all_cuts = [_cuts_16(klo, khi, r, n) for klo, khi, r, n, _done in per_d]
+        all_cuts = [
+            _cuts(klo, khi, below, at, ranks_ref[i, d], n_cuts)
+            for d, (klo, khi, below, at, _done) in enumerate(per_d)
+        ]
 
         # --- chunked vector phase: one HBM pass serves every descent ------
         get_dma(0, 0).start()
+
+        _NA = n_cuts + 3  # accumulators per descent: counts + top + min + max
 
         def chunk_body(c, acc):
             slot = c % 2
@@ -169,16 +183,17 @@ def _stream_kernel(ranks_ref, ik_hbm, out_ref, buf, sem, *, k_ranks, n_chunks):
             new_acc = []
             for d in range(k_ranks):
                 klo, khi = per_d[d][0], per_d[d][1]
-                a = acc[19 * d : 19 * (d + 1)]
-                cnt, nmem, gmin, gmax = _sweep_masks(ik, klo, khi, all_cuts[d])
+                a = acc[_NA * d : _NA * (d + 1)]
+                cnt, gmin, gmax = _sweep_masks(ik, klo, khi, all_cuts[d])
                 new_acc.extend(
-                    [a[m] + cnt[m] for m in range(16)]
-                    + [a[16] + nmem, jnp.minimum(a[17], gmin), jnp.maximum(a[18], gmax)]
+                    [a[m] + cnt[m] for m in range(n_cuts + 1)]
+                    + [jnp.minimum(a[n_cuts + 1], gmin), jnp.maximum(a[n_cuts + 2], gmax)]
                 )
             return tuple(new_acc)
 
         acc0 = tuple(
-            [jnp.int32(0)] * 17 + [jnp.int32(_I32MAX), jnp.int32(_I32MIN)]
+            [jnp.int32(0)] * (n_cuts + 1)
+            + [jnp.int32(_I32MAX), jnp.int32(_I32MIN)]
             for _ in range(k_ranks)
         )
         acc0 = tuple(s for group in acc0 for s in group)
@@ -187,25 +202,46 @@ def _stream_kernel(ranks_ref, ik_hbm, out_ref, buf, sem, *, k_ranks, n_chunks):
         # --- scalar phase ---------------------------------------------------
         new_state = [it + 1]
         for d in range(k_ranks):
-            a = acc[19 * d : 19 * (d + 1)]
+            a = acc[_NA * d : _NA * (d + 1)]
             new_state.extend(
-                _descend_step(*per_d[d], all_cuts[d], list(a[:16]), a[16], a[17], a[18])
+                _descend_step(
+                    *per_d[d],
+                    ranks_ref[i, d],
+                    all_cuts[d],
+                    list(a[: n_cuts + 1]),
+                    a[n_cuts + 1],
+                    a[n_cuts + 2],
+                )
             )
         return tuple(new_state)
 
     state0 = [jnp.int32(0)]
     for k in range(k_ranks):
-        # Sweep 1 = init: the whole int32 key space (sentinels excluded by
-        # the member mask), rank clamped by the sweep's own member count.
-        state0.extend(
-            [
-                jnp.int32(_I32MIN),
-                jnp.int32(_I32MAX),
-                ranks_ref[i, k],
-                jnp.int32(0),
-                jnp.asarray(False),
-            ]
-        )
+        if has_init:
+            # Caller-supplied interval + count: [klo, khi, n]. Empty rows
+            # (n == 0) resolve to the sentinel without a single sweep.
+            n0 = init_ref[i, 2]
+            state0.extend(
+                [
+                    jnp.where(n0 == 0, jnp.int32(_SENT_IK), init_ref[i, 0]),
+                    jnp.where(n0 == 0, jnp.int32(_SENT_IK), init_ref[i, 1]),
+                    jnp.int32(0),
+                    n0,
+                    n0 == 0,
+                ]
+            )
+        else:
+            # Sweep 1 = init: the whole int32 key space (sentinels excluded
+            # by the top clamp), rank clamped by the sweep's own top count.
+            state0.extend(
+                [
+                    jnp.int32(_I32MIN),
+                    jnp.int32(_I32MAX),
+                    jnp.int32(0),
+                    jnp.int32(0),
+                    jnp.asarray(False),
+                ]
+            )
     state = jax.lax.while_loop(cond, body, tuple(state0))
     for k in range(k_ranks):
         out_ref[i, k] = state[1 + _NS * k]  # terminal klo == the exact key
@@ -219,19 +255,35 @@ def _f32_from_ik(ik):
     return jax.lax.bitcast_convert_type(key ^ flip, jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _init_keys(init):
+    """(min_vals, max_vals, counts) in VALUE space → (rows, 3) int32
+    [klo, khi, n] in signed-key space."""
+    lo_v, hi_v, n = init
+    klo = _ikey_view(_monotone_key(lo_v.astype(jnp.float32)))
+    khi = _ikey_view(_monotone_key(hi_v.astype(jnp.float32)))
+    return jnp.stack(
+        [klo, jnp.minimum(khi, _SENT_IK - 1), n.astype(jnp.int32)], axis=1
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_cuts", "interpret"))
 def kth_smallest_streaming(
     x: jnp.ndarray,
     ranks: jnp.ndarray,
+    init=None,
+    n_cuts: int = 16,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """(R, P) f32 with +inf sentinels, ranks (R, K) int32 → (R, K) values.
 
     Bit-exact nearest-rank selection for rows of ANY size (int32 rank
     ceiling): the field streams from HBM per sweep; VMEM holds only two
-    4 MB chunk buffers. Callers below the resident kernel's comfortable
-    budget should prefer :func:`...selection.kth_smallest_pallas` (fewer
-    sweeps on sync-bound sizes); this kernel replaces it above.
+    4 MB chunk buffers. ``init`` (optional) is a tuple of per-row
+    ``(min_vals, max_vals, counts)`` over the REAL (non-sentinel)
+    elements — usually free at the call site — which replaces the
+    range-discovery sweep. Callers below the resident kernel's budget
+    should prefer :func:`...selection.kth_smallest_pallas` (fewer sweeps
+    on sync-bound sizes); this kernel replaces it above.
     """
     if interpret is None:
         interpret = interpret_mode()
@@ -245,8 +297,13 @@ def kth_smallest_streaming(
     n_chunks = ik.shape[1] // chunk
     ik4 = ik.reshape(rows, n_chunks, chunk // _LANE, _LANE)
 
+    has_init = init is not None
+    init_arr = (
+        _init_keys(init) if has_init else jnp.zeros((rows, 3), jnp.int32)
+    )
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(rows,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -255,52 +312,73 @@ def kth_smallest_streaming(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    kernel = functools.partial(_stream_kernel, k_ranks=k_ranks, n_chunks=n_chunks)
+    kernel = functools.partial(
+        _stream_kernel,
+        k_ranks=k_ranks,
+        n_chunks=n_chunks,
+        n_cuts=n_cuts,
+        has_init=has_init,
+    )
     out_ik = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows, k_ranks), jnp.int32),
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
-    )(ranks.astype(jnp.int32), ik4)
+    )(ranks.astype(jnp.int32), init_arr, ik4)
     return _f32_from_ik(out_ik)
 
 
-def kth_smallest_streaming_reference(x: jnp.ndarray, ranks: jnp.ndarray) -> jnp.ndarray:
+def kth_smallest_streaming_reference(
+    x: jnp.ndarray, ranks: jnp.ndarray, init=None, n_cuts: int = 16
+) -> jnp.ndarray:
     """jnp twin of :func:`kth_smallest_streaming` — the identical descent
-    (same cuts, same scalar phases, full-row vector phase; chunked int sums
-    are associative, so results are bit-identical). Runs on any backend."""
+    (same cuts, same scalar phases, full-row vector phase; chunked int
+    sums are associative, so results are bit-identical). Any backend."""
     rows, p = x.shape
     k_ranks = ranks.shape[1]
     ik_all = _ikey_view(_monotone_key(x.astype(jnp.float32)))
+    init_arr = _init_keys(init) if init is not None else None
 
     out = []
     for i in range(rows):
         ik = ik_all[i]
         row_out = []
         for k in range(k_ranks):
-            state = (
-                jnp.int32(0),
-                jnp.int32(_I32MIN),
-                jnp.int32(_I32MAX),
-                ranks[i, k].astype(jnp.int32),
-                jnp.int32(0),
-                jnp.asarray(False),
-            )
+            r = ranks[i, k].astype(jnp.int32)
+            if init_arr is None:
+                st0 = (
+                    jnp.int32(0),
+                    jnp.int32(_I32MIN),
+                    jnp.int32(_I32MAX),
+                    jnp.int32(0),
+                    jnp.int32(0),
+                    jnp.asarray(False),
+                )
+            else:
+                n0 = init_arr[i, 2]
+                st0 = (
+                    jnp.int32(0),
+                    jnp.where(n0 == 0, jnp.int32(_SENT_IK), init_arr[i, 0]),
+                    jnp.where(n0 == 0, jnp.int32(_SENT_IK), init_arr[i, 1]),
+                    jnp.int32(0),
+                    n0,
+                    n0 == 0,
+                )
 
             def cond(s):
                 return jnp.logical_not(s[5]) & (s[0] < _MAX_SWEEPS)
 
             def body(s):
-                it, klo, khi, r, n, done = s
-                cuts = _cuts_16(klo, khi, r, n)
-                cnt, nmem, gmin, gmax = _sweep_masks(ik, klo, khi, cuts)
-                klo, khi, r, n, done = _descend_step(
-                    klo, khi, r, n, done, cuts, cnt, nmem, gmin, gmax
+                it, klo, khi, below, at, done = s
+                cuts = _cuts(klo, khi, below, at, r, n_cuts)
+                cnt, gmin, gmax = _sweep_masks(ik, klo, khi, cuts)
+                klo, khi, below, at, done = _descend_step(
+                    klo, khi, below, at, done, r, cuts, cnt, gmin, gmax
                 )
-                return (it + 1, klo, khi, r, n, done)
+                return (it + 1, klo, khi, below, at, done)
 
-            state = jax.lax.while_loop(cond, body, state)
-            row_out.append(_f32_from_ik(state[1]))
+            st = jax.lax.while_loop(cond, body, st0)
+            row_out.append(_f32_from_ik(st[1]))
         out.append(jnp.stack(row_out))
     return jnp.stack(out)

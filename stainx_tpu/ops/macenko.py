@@ -170,12 +170,33 @@ def _concentrations_2x2(he: jnp.ndarray, od_c) -> tuple[jnp.ndarray, jnp.ndarray
     return c0, c1
 
 
-def _pallas_selectable(p: int, use_pallas: bool) -> bool:
-    if not use_pallas:
-        return False
-    from stainx_tpu.kernels.selection import MAX_ROW_ELEMS
+# Rows above this stream from HBM (O(chunk) VMEM, any size); at or below,
+# the VMEM-resident radix kernel wins (fewer sweeps on sync-bound sizes).
+# 2M elems keeps the resident kernel's peak well under half the 128 MB
+# physical VMEM — the round-2 "127.6 of 128 MB knife edge" is retired:
+# 2048² rows (4.19M) now stream, and the row-size cap is the int32 rank
+# space, not VMEM.
+STREAM_MIN_ELEMS = 2_097_152
 
-    return p <= MAX_ROW_ELEMS
+
+def _select_route(p: int, use_pallas: bool) -> str:
+    if not use_pallas:
+        return "jnp"
+    return "resident" if p <= STREAM_MIN_ELEMS else "stream"
+
+
+def _stream_select(xs, ranks2d, n_valid):
+    """Streaming nearest-rank selection with caller-known init: the row
+    min/max/count replace the kernel's range-discovery sweep (they fuse
+    into the producer's pass under XLA). ``xs`` carries +inf sentinels."""
+    from stainx_tpu.kernels.selection_stream import kth_smallest_streaming
+
+    init = (
+        jnp.min(xs, axis=1),  # +inf sentinels never win a min unless empty
+        jnp.max(jnp.where(xs != jnp.inf, xs, -jnp.inf), axis=1),
+        n_valid.astype(jnp.int32),
+    )
+    return kth_smallest_streaming(xs, ranks2d, init=init)
 
 
 def _stain_separate(
@@ -195,13 +216,18 @@ def _stain_separate(
     rank_lo = nearest_rank_index(ALPHA, cnt)
     rank_hi = nearest_rank_index(100 - ALPHA, cnt)
 
-    if _pallas_selectable(phi.shape[-1], use_pallas):
+    route = _select_route(phi.shape[-1], use_pallas)
+    if route == "resident":
         # One VMEM-resident radix-select pass per row yields BOTH φ
         # percentiles (K=2) — the data is read from HBM exactly once.
         from stainx_tpu.kernels.selection import kth_smallest_pallas
 
         xs = jnp.where(mask, phi, jnp.inf)
         vals = kth_smallest_pallas(xs, jnp.stack([rank_lo, rank_hi], axis=1))
+        min_phi, max_phi = vals[:, 0], vals[:, 1]
+    elif route == "stream":
+        xs = jnp.where(mask, phi, jnp.inf)
+        vals = _stream_select(xs, jnp.stack([rank_lo, rank_hi], axis=1), cnt)
         min_phi, max_phi = vals[:, 0], vals[:, 1]
     else:
         # jnp path: both percentiles in ONE selection instance (ranks
@@ -296,10 +322,17 @@ def macenko_transform(
     # selection instance.
     idx99 = static_nearest_rank_index(99, p)
     c_stack = jnp.concatenate([c0, c1], axis=0)
-    if _pallas_selectable(p, use_pallas):
+    route = _select_route(p, use_pallas)
+    if route == "resident":
         from stainx_tpu.kernels.selection import kth_smallest_pallas
 
         max_c = kth_smallest_pallas(c_stack, jnp.full((2 * n, 1), idx99, jnp.int32))[:, 0]
+    elif route == "stream":
+        max_c = _stream_select(
+            c_stack,
+            jnp.full((2 * n, 1), idx99, jnp.int32),
+            jnp.full((2 * n,), p, jnp.int32),
+        )[:, 0]
     else:
         max_c = kth_smallest(c_stack, jnp.full((2 * n,), idx99, jnp.int32), levels=levels)
     max_c0, max_c1 = max_c[:n], max_c[n:]
@@ -358,10 +391,17 @@ def macenko_fit(images: jnp.ndarray, use_pallas: bool = False) -> tuple[jnp.ndar
 
     idx99 = static_nearest_rank_index(99, ptot)
     c_stack = jnp.concatenate([c0, c1], axis=0)
-    if _pallas_selectable(ptot, use_pallas):
+    route = _select_route(ptot, use_pallas)
+    if route == "resident":
         from stainx_tpu.kernels.selection import kth_smallest_pallas
 
         max_conc = kth_smallest_pallas(c_stack, jnp.full((2, 1), idx99, jnp.int32))[:, 0]
+    elif route == "stream":
+        max_conc = _stream_select(
+            c_stack,
+            jnp.full((2, 1), idx99, jnp.int32),
+            jnp.full((2,), ptot, jnp.int32),
+        )[:, 0]
     else:
         max_conc = kth_smallest(c_stack, jnp.full((2,), idx99, jnp.int32))
     return he[0], max_conc

@@ -127,7 +127,18 @@ class TestSelectionKernel:
 
     @pytest.mark.parametrize(
         "mode",
-        ["dep", "spec6", "spec4", "nocon", "defer", "interval", "interval8", "ikdep"],
+        [
+            "dep",
+            "spec6",
+            "spec4",
+            "nocon",
+            "defer",
+            "interval",
+            "interval8",
+            "ikdep",
+            # 256-cut trace is ~1300 scalar wheres/iteration — slow tier.
+            pytest.param("interval256", marks=pytest.mark.slow),
+        ],
     )
     def test_descent_modes_bit_exact(self, mode):
         """Every contraction strategy (dep / speculative / none) is the same
@@ -208,6 +219,111 @@ class TestSelectionKernel:
         he_p, mc_p = mk.macenko_fit(jnp.asarray(ref_img), use_pallas=True)
         np.testing.assert_allclose(np.asarray(he_x), np.asarray(he_p), atol=1e-5)
         np.testing.assert_allclose(np.asarray(mc_x), np.asarray(mc_p), rtol=1e-5)
+
+
+class TestStreamingSelectionKernel:
+    """O(scalars)-state streaming selection (kernels/selection_stream.py) —
+    the >VMEM-row replacement for the resident radix kernel (reference
+    sort role: ``csrc/macenko.cu:52-58,209-216``)."""
+
+    # n_cuts=16 is the shipped ladder; the wider twins compile ~80 s of
+    # while-loops for variants nothing routes to — slow-tier coverage.
+    @pytest.mark.parametrize(
+        "n_cuts",
+        [16, pytest.param(32, marks=pytest.mark.slow), pytest.param(64, marks=pytest.mark.slow)],
+    )
+    def test_matches_sort_and_jnp_twin(self, n_cuts):
+        from stainx_tpu.kernels.selection_stream import (
+            kth_smallest_streaming,
+            kth_smallest_streaming_reference,
+        )
+
+        rng = np.random.default_rng(7)
+        x = (rng.standard_normal((3, 3000)) * 50).astype(np.float32)
+        x[1, :40] = x[1, 50]  # duplicate cluster
+        ranks = np.array([[0, 2999], [30, 45], [1500, 1501]], np.int32)
+        got = np.asarray(
+            kth_smallest_streaming(
+                jnp.asarray(x), jnp.asarray(ranks), n_cuts=n_cuts, interpret=True
+            )
+        )
+        twin = np.asarray(
+            kth_smallest_streaming_reference(
+                jnp.asarray(x), jnp.asarray(ranks), n_cuts=n_cuts
+            )
+        )
+        srt = np.sort(x, axis=1)
+        expect = np.stack([srt[i, ranks[i]] for i in range(3)])
+        np.testing.assert_array_equal(got, expect)
+        np.testing.assert_array_equal(twin, expect)
+
+    def test_masked_sentinels_and_init(self):
+        """+inf sentinels are excluded; the caller-supplied (min, max, n)
+        init must select identically while skipping the discovery sweep."""
+        from stainx_tpu.kernels.selection_stream import kth_smallest_streaming
+
+        rng = np.random.default_rng(8)
+        x = (rng.standard_normal((2, 2000)) * 9).astype(np.float32)
+        mask = rng.random((2, 2000)) < 0.7
+        xs = np.where(mask, x, np.inf).astype(np.float32)
+        cnt = mask.sum(1).astype(np.int32)
+        ranks = np.stack([cnt // 100, cnt * 99 // 100], 1).astype(np.int32)
+        expect = np.stack(
+            [np.sort(x[i][mask[i]])[ranks[i]] for i in range(2)]
+        )
+        got = np.asarray(
+            kth_smallest_streaming(jnp.asarray(xs), jnp.asarray(ranks), interpret=True)
+        )
+        init = (
+            jnp.asarray(np.where(mask, x, np.inf).min(1).astype(np.float32)),
+            jnp.asarray(np.where(mask, x, -np.inf).max(1).astype(np.float32)),
+            jnp.asarray(cnt),
+        )
+        got_i = np.asarray(
+            kth_smallest_streaming(
+                jnp.asarray(xs), jnp.asarray(ranks), init=init, interpret=True
+            )
+        )
+        np.testing.assert_array_equal(got, expect)
+        np.testing.assert_array_equal(got_i, expect)
+
+    def test_empty_row_and_rank_overflow(self):
+        from stainx_tpu.kernels.selection_stream import kth_smallest_streaming
+
+        x = np.full((1, 512), np.inf, np.float32)
+        got = np.asarray(
+            kth_smallest_streaming(
+                jnp.asarray(x), jnp.asarray([[0, 5]], np.int32), interpret=True
+            )
+        )
+        assert np.isposinf(got).all()
+
+        rng = np.random.default_rng(9)
+        y = rng.standard_normal((1, 300)).astype(np.float32)
+        got = np.asarray(
+            kth_smallest_streaming(
+                jnp.asarray(y), jnp.asarray([[299, 5000]], np.int32), interpret=True
+            )
+        )
+        assert got[0, 0] == got[0, 1] == np.sort(y[0])[-1]
+
+    def test_multi_chunk_accumulation(self, monkeypatch):
+        """Rows spanning several DMA chunks: per-chunk count/min/max
+        accumulation must be exact (int sums are associative)."""
+        import stainx_tpu.kernels.selection_stream as ss
+
+        monkeypatch.setattr(ss, "CHUNK_ELEMS", 2048)
+        rng = np.random.default_rng(10)
+        x = (rng.standard_normal((2, 7000)) * 100).astype(np.float32)
+        ranks = np.array([[70, 6929], [0, 6999]], np.int32)
+        got = np.asarray(
+            ss.kth_smallest_streaming(
+                jnp.asarray(x), jnp.asarray(ranks), interpret=True
+            )
+        )
+        srt = np.sort(x, axis=1)
+        expect = np.stack([srt[i, ranks[i]] for i in range(2)])
+        np.testing.assert_array_equal(got, expect)
 
 
 def oracle_tile(size, seed=42, he_scale=1.0):
