@@ -70,19 +70,24 @@ class HistogramMatching(NormalizerTemplate):
             out.append(nz.astype(np.float32) if len(nz) > 0 else np.arange(256, dtype=np.float32))
         return out
 
-    # NOTE: the Pallas histogram kernel measures slightly SLOWER than XLA's
-    # fused compare-reduce on v5e (Mosaic lacks sub-i16 vector arithmetic,
-    # so both sit at the same VPU counting floor and XLA's pipelining wins).
-    # The backend therefore keeps the XLA path; the kernel remains available
-    # via hm_fit/hm_transform(use_pallas=True).
+    # The pallas backend fuses one-hot construction + MXU contraction in
+    # VMEM and reads NCHW directly (kernels/histogram.py): the XLA path's
+    # channel transpose + HBM one-hot materialization dominated the round-2
+    # HM time (measured v5e round 3: 11.0 → 3.1 ms at 64×512², bit-exact).
+    # The earlier VPU counting kernel (histogram_256_pallas) remains the
+    # non-MXU alternative.
     def _compute_reference_params(self, images: jnp.ndarray) -> None:
         self._validate_layout(images)
-        self._ref_histograms_256 = hm_ops.hm_fit(images, channel_axis=self.channel_axis)
+        self._ref_histograms_256 = hm_ops.hm_fit(
+            images, channel_axis=self.channel_axis, use_pallas=self.backend == "pallas"
+        )
 
     def _transform_impl(self, images: jnp.ndarray) -> jnp.ndarray:
         self._validate_layout(images)
         ref = self._coerce_reference(self._ref_histograms_256, images)
-        return hm_ops.hm_transform(images, ref, channel_axis=self.channel_axis)
+        return hm_ops.hm_transform(
+            images, ref, channel_axis=self.channel_axis, use_pallas=self.backend == "pallas"
+        )
 
     def _coerce_reference(self, ref: Any, images: jnp.ndarray) -> jnp.ndarray:
         """Accept (C, 256) arrays, per-channel lists (padded / truncated to C)

@@ -39,6 +39,55 @@ class TestHistogramKernel:
         np.testing.assert_array_equal(out_x, out_p)
 
 
+class TestHistogramMXUKernel:
+    """Fused one-hot + MXU contraction histogram / LUT apply
+    (kernels/histogram.py). Bit-exact twins of ops.histogram_matching."""
+
+    @pytest.mark.parametrize("shape", [(3, 4096), (3, 5000), (2, 3, 70000), (1, 1, 100)])
+    def test_histogram_matches_jnp_twin(self, shape):
+        from stainx_tpu.kernels.histogram import histogram_256_mxu
+
+        rng = np.random.default_rng(sum(shape))
+        vals = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        got = np.asarray(histogram_256_mxu(jnp.asarray(vals), interpret=True))
+        v3 = vals if vals.ndim == 3 else vals[None]
+        flat = jnp.asarray(np.transpose(v3, (1, 0, 2)).reshape(v3.shape[1], -1))
+        ref = np.asarray(hm_ops.histogram_256(flat))
+        np.testing.assert_array_equal(got, ref)
+
+    def test_histogram_zero_heavy_padding_correction(self):
+        from stainx_tpu.kernels.histogram import histogram_256_mxu
+
+        vals = np.zeros((2, 1, 5000), np.uint8)
+        got = np.asarray(histogram_256_mxu(jnp.asarray(vals), interpret=True))
+        assert got[0, 0] == 10000.0
+        assert got[0, 1:].sum() == 0.0
+
+    def test_apply_lut_matches_jnp_twin(self):
+        from stainx_tpu.kernels.histogram import apply_lut_u8_mxu
+
+        rng = np.random.default_rng(7)
+        vals = rng.integers(0, 256, size=(2, 3, 5000), dtype=np.uint8)
+        lut = np.sort(rng.random((3, 256)).astype(np.float32) * 255.0, axis=1)
+        got = np.asarray(apply_lut_u8_mxu(jnp.asarray(vals), jnp.asarray(lut), interpret=True))
+        ref = np.clip(
+            np.asarray(hm_ops._apply_lut(jnp.asarray(vals[:, :, None, :]), jnp.asarray(lut))),
+            0,
+            255,
+        ).astype(np.uint8)[:, :, 0, :]
+        np.testing.assert_array_equal(got, ref)
+
+    def test_apply_lut_extreme_values(self):
+        """LUT entries at the clip boundaries and exact-integer edges."""
+        from stainx_tpu.kernels.histogram import apply_lut_u8_mxu
+
+        vals = np.arange(256, dtype=np.uint8).reshape(1, 1, 256)
+        lut = np.linspace(-5.0, 260.0, 256, dtype=np.float32).reshape(1, 256)
+        got = np.asarray(apply_lut_u8_mxu(jnp.asarray(vals), jnp.asarray(lut), interpret=True))
+        ref = np.floor(np.clip(lut[0], 0.0, 255.0)).astype(np.uint8).reshape(1, 1, 256)
+        np.testing.assert_array_equal(got, ref)
+
+
 class TestSelectionKernel:
     def test_matches_jnp_twin(self):
         import jax.numpy as jnp
