@@ -30,7 +30,7 @@ def main() -> None:
         nargs="*",
         default=["dep", "ikdep", "interval"],
         choices=[
-            "dep", "ikdep", "spec6", "spec4", "nocon", "defer",
+            "dep", "ikdep", "cum16", "cum256", "spec6", "spec4", "nocon", "defer",
             "interval", "interval8", "interval16", "interval256", "auto",
         ],
     )

@@ -157,6 +157,11 @@ _NS = 8  # scalars of while-carry per descent
 #             narrowing) measured a clear LOSS — 1 334–1 545 MPix/s vs
 #             ~3 000 for the 4-cut form at 224²/512²; kept as an ablation
 #             mode only.
+#   "cum16" — full 16-bucket cumulative counts per level on the hoisted
+#             key view: every level resolves in ONE iteration (no probe
+#             misses, no narrows); iterations == nibble levels descended.
+#   "cum256" — byte-wide levels: 256 cumulative counts resolve 8 bits
+#             per iteration (≤ 4 iterations total). Ablation mode.
 #   "ikdep" — dep's exact algorithm, but every compare runs on a HOISTED
 #             signed-key array against scalar key-space bucket bounds:
 #             no per-iteration group shift, igroup xor, or ik recompute —
@@ -248,6 +253,12 @@ def radix_descend_multi(selects, mode: str | None = None):
     state = []
     for key, rank in selects:
         prefix0, it0, size0, ik_min, ik_max = _descent_init(key)
+        if mode == "cum256":
+            # Byte levels live on even nibble boundaries — floor the
+            # init-skip prefix (a half-byte start would misalign buckets).
+            odd0 = (it0 & 1) == 1
+            it0 = jnp.where(it0 >= 8, it0, it0 & ~1)
+            prefix0 = jnp.where(odd0 & (it0 < 8), prefix0 >> 4, prefix0)
         # Clamp into the valid member range: keeps the interpolation
         # invariant c_lo ≤ r < c_hi (out-of-range ranks now return the
         # max/min member instead of the old clamped-descent garbage).
@@ -279,14 +290,85 @@ def radix_descend_multi(selects, mode: str | None = None):
     # ikdep hoists the signed-key views out of the loop (loop-invariant;
     # +P·4 B VMEM per descent — the auto ladder keeps huge rows on dep,
     # whose in-loop recompute stays within the 2048² scoped-vmem budget).
-    iks_hoisted = [_ikey_view(key) for key, _ in selects] if mode == "ikdep" else None
+    iks_hoisted = (
+        [_ikey_view(key) for key, _ in selects]
+        if mode in ("ikdep", "cum16", "cum256")
+        else None
+    )
 
     def body(state):
         new_state = []
         for d, (key, _rank) in enumerate(selects):
             prefix, r, it, done, c_lo, c_hi, jlo, jhi = state[_NS * d : _NS * d + _NS]
 
-            if mode == "ikdep":
+            if mode == "cum256":
+                # Byte-wide levels (round-2 VERDICT experiment b): 256
+                # cumulative counts resolve 8 key bits per iteration — at
+                # most 4 iterations for a full f32 key. The 255-deep scalar
+                # select chains and 256 reduces stress the fused-count
+                # economics at the opposite extreme from cum16.
+                ik = iks_hoisted[d]
+                base = jnp.where(
+                    it == 0,
+                    jnp.uint32(0),
+                    jax.lax.shift_left(
+                        prefix, (32 - 4 * jnp.maximum(it, 1)).astype(jnp.uint32)
+                    ),
+                )
+                bw_shift = (24 - 4 * jnp.minimum(it, jnp.int32(6))).astype(jnp.uint32)
+                bw = jax.lax.shift_left(jnp.uint32(1), bw_shift)
+                gmask = jax.lax.shift_left(jnp.uint32(256), bw_shift) - jnp.uint32(1)
+
+                def sview256(u):
+                    return (u ^ jnp.uint32(0x80000000)).astype(jnp.int32)
+
+                def top256(j):
+                    j1 = jnp.minimum(j + 1, 256).astype(jnp.uint32)
+                    return sview256(
+                        jnp.where(j >= 255, base | gmask, base + j1 * bw - jnp.uint32(1))
+                    )
+
+                member_ge = ik >= sview256(base)
+                t256 = [
+                    jnp.sum((member_ge & (ik <= top256(jnp.int32(m)))).astype(jnp.int32))
+                    for m in range(256)
+                ]
+                j = sum(
+                    ((r >= t256[m]).astype(jnp.int32) for m in range(255)),
+                    jnp.int32(0),
+                )
+                below = jnp.int32(0)
+                t_at = t256[0]
+                for m in range(255):
+                    below = jnp.where(j > m, t256[m], below)
+                    t_at = jnp.where(j > m, t256[m + 1], t_at)
+                wmask = (ik >= sview256(base + j.astype(jnp.uint32) * bw)) & (
+                    ik <= top256(j)
+                )
+                wmin = jnp.min(jnp.where(wmask, ik, jnp.int32(0x7FFFFFFF)))
+                wmax = jnp.max(jnp.where(wmask, ik, jnp.int32(-0x80000000)))
+                cpfx, cit = _prefix_from_minmax(wmin, wmax)
+                # Keep byte alignment: floor the contraction to an even
+                # nibble level (cit ≥ it + 2 is guaranteed — every member
+                # of bucket j shares the next full byte).
+                cit_e = jnp.where(cit >= 8, cit, cit & ~1)
+                cpfx_e = jnp.where(cit == cit_e, cpfx, cpfx >> 4)
+                adv = jnp.logical_not(done)
+                new_state.extend(
+                    [
+                        jnp.where(adv, cpfx_e, prefix),
+                        jnp.where(adv, r - below, r),
+                        jnp.where(adv, cit_e, it),
+                        done | (adv & (cit_e >= 8)),
+                        jnp.int32(0),
+                        jnp.where(adv, t_at - below, c_hi),
+                        jnp.where(adv, _nibble_at(wmin, cit_e), jlo),
+                        jnp.where(adv, _nibble_at(wmax, cit_e), jhi),
+                    ]
+                )
+                continue
+
+            if mode in ("ikdep", "cum16"):
                 ik = iks_hoisted[d]
                 # Scalar key-space bucket bounds (uint32 arithmetic, then
                 # the ^0x8000_0000 signed order view — no vector shifts,
@@ -320,11 +402,52 @@ def radix_descend_multi(selects, mode: str | None = None):
                         )
                     )
 
+                member_ge = ik >= sview(base)
+
+                if mode == "cum16":
+                    # Full 16-bucket cumulative counts: the level ALWAYS
+                    # resolves (no probe misses, no narrow iterations), so
+                    # iterations == nibble levels actually descended. The
+                    # 12 extra count reduces ride the same vector phase
+                    # (measured: 16 counts ≈ +17% over 1).
+                    t16 = [
+                        jnp.sum((member_ge & (ik <= top(jnp.int32(m)))).astype(jnp.int32))
+                        for m in range(16)
+                    ]
+                    j = sum(
+                        ((r >= t16[m]).astype(jnp.int32) for m in range(15)),
+                        jnp.int32(0),
+                    )  # smallest j with t16[j] > r
+                    below = jnp.int32(0)
+                    t_at = t16[0]
+                    for m in range(15):
+                        below = jnp.where(j > m, t16[m], below)
+                        t_at = jnp.where(j > m, t16[m + 1], t_at)
+                    # Contraction over the single found bucket — shares the
+                    # sync with the counts (bounds are scalars in hand).
+                    wmask = (ik >= bot(j)) & (ik <= top(j))
+                    wmin = jnp.min(jnp.where(wmask, ik, jnp.int32(0x7FFFFFFF)))
+                    wmax = jnp.max(jnp.where(wmask, ik, jnp.int32(-0x80000000)))
+                    cpfx, cit = _prefix_from_minmax(wmin, wmax)
+                    adv = jnp.logical_not(done)  # a find every iteration
+                    new_state.extend(
+                        [
+                            jnp.where(adv, cpfx, prefix),
+                            jnp.where(adv, r - below, r),
+                            jnp.where(adv, cit, it),
+                            done | (adv & (cit >= 8)),
+                            jnp.int32(0),
+                            jnp.where(adv, t_at - below, c_hi),
+                            jnp.where(adv, _nibble_at(wmin, cit), jlo),
+                            jnp.where(adv, _nibble_at(wmax, cit), jhi),
+                        ]
+                    )
+                    continue
+
                 denom = jnp.maximum(c_hi - c_lo, 1)
                 jpred = jlo + (jhi - jlo + 1) * (r - c_lo) // denom
                 k0 = jnp.clip(jpred - 2, jlo, jnp.maximum(jlo, jhi - 3))
 
-                member_ge = ik >= sview(base)
                 t = [
                     jnp.sum((member_ge & (ik <= top(k0 + m))).astype(jnp.int32))
                     for m in range(4)
@@ -828,7 +951,7 @@ def radix_select_multi(selects, keyed: bool = False, mode: str | None = None):
         radix = radix_descend_multi(
             [(key, rank) for key, rank, _fields in selects], mode=mode
         )
-        if keyed and mode in ("dep", "ikdep", "spec6", "spec4"):
+        if keyed and mode in ("dep", "ikdep", "cum16", "cum256", "spec6", "spec4"):
             # These modes set ``done`` ONLY via ``cit >= 8`` (and the loop
             # cond also requires ``it < 8``), so every exit carries the
             # FULL 32-bit prefix — the selected element's exact key. Keyed

@@ -185,7 +185,10 @@ class TestSelectionKernel:
             "interval",
             "interval8",
             "ikdep",
-            # 256-cut trace is ~1300 scalar wheres/iteration — slow tier.
+            "cum16",
+            # byte-wide / 256-cut traces are ~1300 scalar wheres per
+            # iteration — slow tier.
+            pytest.param("cum256", marks=pytest.mark.slow),
             pytest.param("interval256", marks=pytest.mark.slow),
         ],
     )
