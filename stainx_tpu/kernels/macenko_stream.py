@@ -1,0 +1,406 @@
+"""Streaming Pallas Macenko: the whole transform for rows beyond VMEM.
+
+The mega kernel (:mod:`stainx_tpu.kernels.macenko_fused`) keeps a row
+VMEM-resident and tops out at 1280×1024; above it the staged jnp path
+materializes OD (N·P·3 f32), the angle field and both concentration
+fields in HBM between stages — ~700 MB of traffic per 2×2048² batch plus
+kernel-launch overheads, measured 6.5 ms (1 296 MPix/s).
+
+This kernel keeps only the RAW uint8/float input in HBM and recomputes
+everything per chunk per pass: each phase streams the image through a
+double-buffered pair of (3, 32, CK) chunk buffers and derives OD —and
+whatever field the phase needs— on the fly, so a pass costs one read of
+the *bytes* (12.6 MB per 2048² uint8 image, not the 50 MB f32 OD). The
+carried state between chunks is scalars only:
+
+- **moments pass**: β-masked + all-pixel moment accumulators (the <3-px
+  fallback needs both; 20 fused reduces per chunk) → scalar analytic
+  eigh (reused from the mega kernel).
+- **φ sweeps**: interval descent on the monotone diamond angle
+  (:func:`..macenko_fused._pseudo_angle`), both α/100−α ranks sharing
+  each pass; the descent machinery is
+  :mod:`stainx_tpu.kernels.selection_stream`'s, with the field
+  recomputed from the bytes instead of loaded.
+- **concentration sweeps**: both stains' 99th percentiles, two fields
+  recomputed per chunk from the same OD planes, counted in one pass.
+- **reconstruction pass**: OD → concentrations → scaled reconstruct →
+  output bytes, DMA'd out chunk by chunk.
+
+~16 passes over the bytes ≈ 200 MB of HBM traffic per 2048² image. The
+math is the mega kernel's exactly (same OD formula, diamond-angle
+selection with keyed scalar reads, sign-preserving maxC guard, same
+reconstruct emit), so results match the mega kernel bit-for-bit wherever
+both run, and the oracle gates are shared. Counterpart of the
+reference's per-image pipeline (``torch_backend.py:399-461``) and the
+CUDA sort machinery (``stainx_cuda_torch/csrc/macenko.cu:209-251``) at
+sizes neither supports in one device pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stainx_tpu.kernels import interpret_mode
+from stainx_tpu.kernels.macenko_fused import (
+    _BETA,
+    _IO,
+    _dir_from_pseudo,
+    _eigh3_top2_scalars,
+    _pseudo_angle,
+)
+from stainx_tpu.kernels.selection import _f32_from_ik_scalar, _ikey_view, _monotone_key
+from stainx_tpu.kernels.selection_stream import (
+    _I32MAX,
+    _I32MIN,
+    _MAX_SWEEPS,
+    _SENT_IK,
+    _cuts,
+    _descend_step,
+    _sweep_masks,
+)
+
+_LANE = 128
+_SUB = 32
+_CK = 2048  # chunk lanes: 64 K px per chunk, 64 KB uint8 per channel buffer
+_N_CUTS = 16
+
+
+def _od_from_chunk(planes, is_uint8: bool):
+    """Three (32, CK) chunk planes → OD planes; the mega kernel's formula
+    (``macenko_fused._od_planes``) on a chunk."""
+    if is_uint8:
+        ps = [p.astype(jnp.int32).astype(jnp.float32) for p in planes]
+        return [-jnp.log((p + 1.0) / _IO) for p in ps]
+    ps = [p.astype(jnp.float32) for p in planes]
+    return [-jnp.log((p * 255.0 + 1.0) / _IO) for p in ps]
+
+
+def _stream_mega_kernel(
+    params_ref,
+    x_hbm,
+    out_hbm,
+    buf,
+    sem,
+    obuf,
+    osem,
+    *,
+    is_uint8: bool,
+    p_true: int,
+    n_chunks: int,
+    alpha: int,
+    idx_hi_conc: int,
+):
+    i = pl.program_id(0)
+    chunk_px = _SUB * _CK
+
+    def in_dma(slot, t, ch):
+        return pltpu.make_async_copy(x_hbm.at[i, ch, t], buf.at[slot, ch], sem.at[slot, ch])
+
+    def start_in(slot, t):
+        for ch in range(3):
+            in_dma(slot, t, ch).start()
+
+    def wait_in(slot, t):
+        for ch in range(3):
+            in_dma(slot, t, ch).wait()
+
+    def chunk_planes(slot):
+        return [buf[slot, ch] for ch in range(3)]
+
+    def valid_mask(t):
+        idx = jax.lax.broadcasted_iota(jnp.int32, (_SUB, _CK), 0) * _CK + (
+            jax.lax.broadcasted_iota(jnp.int32, (_SUB, _CK), 1)
+        )
+        return (t * chunk_px + idx) < p_true
+
+    def streamed(body, acc0):
+        """fori over chunks with double-buffered input DMA; ``body`` takes
+        (t, acc, od_planes, valid) and returns the new acc."""
+
+        def step(t, acc):
+            slot = t % 2
+
+            @pl.when(t + 1 < n_chunks)
+            def _():
+                start_in((t + 1) % 2, t + 1)
+
+            wait_in(slot, t)
+            od = _od_from_chunk(chunk_planes(slot), is_uint8)
+            return body(t, acc, od, valid_mask(t))
+
+        start_in(0, 0)
+        return jax.lax.fori_loop(0, n_chunks, step, acc0)
+
+    # --- phase A: masked + all-pixel moments in one pass -------------------
+    # (the <3-px fallback needs the all-pixel set; at 1/~16 passes the 10
+    # extra reduces are noise, unlike in the resident mega kernel where the
+    # rarely-taken lax.cond measured faster)
+    def moments_body(_t, acc, od, valid):
+        od_min = jnp.minimum(jnp.minimum(od[0], od[1]), od[2])
+        bmask = (od_min >= _BETA) & valid
+        y = [o - 1.0 for o in od]  # centered (cov is center-invariant)
+        out = []
+        for w_mask in (bmask, valid):
+            w = w_mask.astype(jnp.float32)
+            out += [
+                jnp.sum(w),
+                jnp.sum(w * y[0]),
+                jnp.sum(w * y[1]),
+                jnp.sum(w * y[2]),
+                jnp.sum(w * y[0] * y[0]),
+                jnp.sum(w * y[0] * y[1]),
+                jnp.sum(w * y[0] * y[2]),
+                jnp.sum(w * y[1] * y[1]),
+                jnp.sum(w * y[1] * y[2]),
+                jnp.sum(w * y[2] * y[2]),
+            ]
+        return tuple(a + o for a, o in zip(acc, out))
+
+    m = streamed(moments_body, (jnp.float32(0.0),) * 20)
+    use_all = m[0] < 3.0
+    cnt, s0, s1_, s2_, xx, xy, xz, yy, yz, zz = (
+        jnp.where(use_all, m[10 + k], m[k]) for k in range(10)
+    )
+
+    safe = jnp.maximum(cnt, 1.0)
+    mu0, mu1, mu2 = s0 / safe, s1_ / safe, s2_ / safe
+    den = jnp.maximum(cnt - 1.0, 1.0)
+    ok = cnt > 1.0
+    zero = jnp.float32(0.0)
+    a00 = jnp.where(ok, (xx - cnt * mu0 * mu0) / den, zero)
+    a01 = jnp.where(ok, (xy - cnt * mu0 * mu1) / den, zero)
+    a02 = jnp.where(ok, (xz - cnt * mu0 * mu2) / den, zero)
+    a11 = jnp.where(ok, (yy - cnt * mu1 * mu1) / den, zero)
+    a12 = jnp.where(ok, (yz - cnt * mu1 * mu2) / den, zero)
+    a22 = jnp.where(ok, (zz - cnt * mu2 * mu2) / den, zero)
+
+    v00, v10, v20, v01, v11, v21 = _eigh3_top2_scalars(a00, a01, a02, a11, a12, a22)
+
+    # --- descent driver: K descents over per-chunk recomputed fields -------
+    _NS = 5  # klo, khi, below, at, done
+
+    def run_descents(field_fns, descents):
+        """``field_fns``: (od, valid) → signed-key chunk view, computed
+        ONCE per chunk; ``descents``: (field_idx, rank) pairs counted on
+        it. No-init first sweep spans the whole key space and doubles as
+        range discovery (cf. selection_stream). Returns each terminal
+        klo."""
+        k_d = len(descents)
+        ranks = [r for _fi, r in descents]
+
+        def cond(state):
+            alive = jnp.asarray(False)
+            for d in range(k_d):
+                alive = alive | jnp.logical_not(state[1 + _NS * d + 4])
+            return alive & (state[0] < _MAX_SWEEPS)
+
+        def body(state):
+            per_d = [state[1 + _NS * d : 1 + _NS * (d + 1)] for d in range(k_d)]
+            all_cuts = [
+                _cuts(klo, khi, below, at, ranks[d], _N_CUTS)
+                for d, (klo, khi, below, at, _dn) in enumerate(per_d)
+            ]
+            _NA = _N_CUTS + 3
+
+            def sweep_body(_t, acc, od, valid):
+                iks = [fn(od, valid) for fn in field_fns]
+                new_acc = []
+                for d, (fi, _r) in enumerate(descents):
+                    a = acc[_NA * d : _NA * (d + 1)]
+                    cnt_, gmin, gmax = _sweep_masks(
+                        iks[fi], per_d[d][0], per_d[d][1], all_cuts[d]
+                    )
+                    new_acc.extend(
+                        [a[mm] + cnt_[mm] for mm in range(_N_CUTS + 1)]
+                        + [
+                            jnp.minimum(a[_N_CUTS + 1], gmin),
+                            jnp.maximum(a[_N_CUTS + 2], gmax),
+                        ]
+                    )
+                return tuple(new_acc)
+
+            acc0 = tuple(
+                v
+                for _ in range(k_d)
+                for v in [jnp.int32(0)] * (_N_CUTS + 1)
+                + [jnp.int32(_I32MAX), jnp.int32(_I32MIN)]
+            )
+            acc = streamed(sweep_body, acc0)
+
+            new_state = [state[0] + 1]
+            for d in range(k_d):
+                a = acc[_NA * d : _NA * (d + 1)]
+                new_state.extend(
+                    _descend_step(
+                        *per_d[d],
+                        ranks[d],
+                        all_cuts[d],
+                        list(a[: _N_CUTS + 1]),
+                        a[_N_CUTS + 1],
+                        a[_N_CUTS + 2],
+                    )
+                )
+            return tuple(new_state)
+
+        state0 = [jnp.int32(0)]
+        for _ in range(k_d):
+            state0.extend(
+                [
+                    jnp.int32(_I32MIN),
+                    jnp.int32(_I32MAX),
+                    jnp.int32(0),
+                    jnp.int32(0),
+                    jnp.asarray(False),
+                ]
+            )
+        state = jax.lax.while_loop(cond, body, tuple(state0))
+        return [state[1 + _NS * d] for d in range(k_d)]
+
+    # --- phase B: φ percentiles on the diamond angle -----------------------
+    def phi_ik(od, valid):
+        od_min = jnp.minimum(jnp.minimum(od[0], od[1]), od[2])
+        eff = ((od_min >= _BETA) | use_all) & valid
+        t0 = od[0] * v00 + od[1] * v10 + od[2] * v20
+        t1 = od[0] * v01 + od[1] * v11 + od[2] * v21
+        pseudo = _pseudo_angle(t0, t1)
+        return _ikey_view(_monotone_key(jnp.where(eff, pseudo, jnp.inf)))
+
+    cnt_i = jnp.round(cnt).astype(jnp.int32)
+    from stainx_tpu.ops.percentile import nearest_rank_index
+
+    r_lo = nearest_rank_index(alpha, cnt_i)
+    r_hi = nearest_rank_index(100 - alpha, cnt_i)
+    klo_lo, klo_hi = run_descents([phi_ik], [(0, r_lo), (0, r_hi)])
+    cos_lo, sin_lo = _dir_from_pseudo(_f32_from_ik_scalar(klo_lo))
+    cos_hi, sin_hi = _dir_from_pseudo(_f32_from_ik_scalar(klo_hi))
+
+    vmin = [v00 * cos_lo + v01 * sin_lo, v10 * cos_lo + v11 * sin_lo, v20 * cos_lo + v21 * sin_lo]
+    vmax = [v00 * cos_hi + v01 * sin_hi, v10 * cos_hi + v11 * sin_hi, v20 * cos_hi + v21 * sin_hi]
+    swap = vmin[0] > vmax[0]
+    h0 = [jnp.where(swap, vmin[c], vmax[c]) for c in range(3)]
+    h1 = [jnp.where(swap, vmax[c], vmin[c]) for c in range(3)]
+
+    a = h0[0] * h0[0] + h0[1] * h0[1] + h0[2] * h0[2]
+    b = h0[0] * h1[0] + h0[1] * h1[1] + h0[2] * h1[2]
+    c_ = h1[0] * h1[0] + h1[1] * h1[1] + h1[2] * h1[2]
+    inv_det = jnp.clip(1.0 / (a * c_ - b * b), -1e12, 1e12)
+    m0 = [(c_ * h0[d] - b * h1[d]) * inv_det for d in range(3)]
+    m1 = [(a * h1[d] - b * h0[d]) * inv_det for d in range(3)]
+
+    # --- phase C: concentration 99th percentiles ---------------------------
+    def c0_ik(od, valid):
+        c0 = od[0] * m0[0] + od[1] * m0[1] + od[2] * m0[2]
+        return _ikey_view(_monotone_key(jnp.where(valid, c0, jnp.inf)))
+
+    def c1_ik(od, valid):
+        c1 = od[0] * m1[0] + od[1] * m1[1] + od[2] * m1[2]
+        return _ikey_view(_monotone_key(jnp.where(valid, c1, jnp.inf)))
+
+    rank_c = jnp.int32(idx_hi_conc)
+    kc0, kc1 = run_descents([c0_ik, c1_ik], [(0, rank_c), (1, rank_c)])
+    maxc0 = _f32_from_ik_scalar(kc0)
+    maxc1 = _f32_from_ik_scalar(kc1)
+
+    tmc0, tmc1 = params_ref[0, 0], params_ref[0, 1]
+    stain = [[params_ref[0, 2 + 2 * c + k] for k in range(2)] for c in range(3)]
+    scale0 = tmc0 / jnp.where(jnp.abs(maxc0) > 1e-30, maxc0, 1e-30)
+    scale1 = tmc1 / jnp.where(jnp.abs(maxc1) > 1e-30, maxc1, 1e-30)
+
+    # --- phase D: reconstruction, chunk in / chunk out ----------------------
+    def out_dma(slot, t, ch):
+        return pltpu.make_async_copy(obuf.at[slot, ch], out_hbm.at[i, ch, t], osem.at[slot, ch])
+
+    def recon_body(t, _acc, od, _valid):
+        slot = t % 2
+
+        @pl.when(t >= 2)
+        def _():
+            for ch in range(3):
+                out_dma(slot, t - 2, ch).wait()
+
+        cn0 = (od[0] * m0[0] + od[1] * m0[1] + od[2] * m0[2]) * scale0
+        cn1 = (od[0] * m1[0] + od[1] * m1[1] + od[2] * m1[2]) * scale1
+        for ch in range(3):
+            rec = jnp.clip(_IO * jnp.exp(-(stain[ch][0] * cn0 + stain[ch][1] * cn1)), 0.0, 255.0)
+            if is_uint8:
+                obuf[slot, ch] = rec.astype(jnp.int32).astype(jnp.uint8)
+            else:
+                obuf[slot, ch] = rec
+        for ch in range(3):
+            out_dma(slot, t, ch).start()
+        return _acc
+
+    streamed(recon_body, jnp.int32(0))
+    for t_tail in range(max(n_chunks - 2, 0), n_chunks):
+        for ch in range(3):
+            out_dma(t_tail % 2, t_tail, ch).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def macenko_transform_stream(
+    images, stain_matrix, target_max_conc, interpret: bool | None = None
+):
+    """Streaming one-kernel Macenko transform for rows of ANY size:
+    (N, 3, H, W) uint8/float32 [0,1] → normalized batch (same dtype,
+    [0,255] range). VMEM holds only chunk buffers; HBM holds the bytes."""
+    if interpret is None:
+        interpret = interpret_mode()
+    n, c, h, w = images.shape
+    p_true = h * w
+    chunk_px = _SUB * _CK
+    pad = (-p_true) % chunk_px
+    flat = images.reshape(n, c, p_true)
+    if pad:
+        pad_value = 255 if images.dtype == jnp.uint8 else 1.0
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)), constant_values=pad_value)
+    n_chunks = flat.shape[2] // chunk_px
+    x5 = flat.reshape(n, c, n_chunks, _SUB, _CK)
+
+    from stainx_tpu.ops.macenko import ALPHA
+    from stainx_tpu.ops.percentile import static_nearest_rank_index
+
+    idx_hi_conc = static_nearest_rank_index(99, p_true)
+    params = jnp.concatenate(
+        [
+            target_max_conc.reshape(2).astype(jnp.float32),
+            stain_matrix.reshape(6).astype(jnp.float32),
+        ]
+    ).reshape(1, 8)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, _SUB, _CK), images.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, 3, _SUB, _CK), images.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+        ],
+    )
+    kernel = functools.partial(
+        _stream_mega_kernel,
+        is_uint8=images.dtype == jnp.uint8,
+        p_true=p_true,
+        n_chunks=n_chunks,
+        alpha=int(ALPHA),
+        idx_hi_conc=idx_hi_conc,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(x5.shape, images.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+    )(params, x5)
+
+    out = out.reshape(n, c, n_chunks * chunk_px)
+    if pad:
+        out = out[:, :, :p_true]
+    return out.reshape(n, c, h, w)

@@ -178,6 +178,12 @@ def _concentrations_2x2(he: jnp.ndarray, od_c) -> tuple[jnp.ndarray, jnp.ndarray
 # space, not VMEM.
 STREAM_MIN_ELEMS = 2_097_152
 
+# Gate for the streaming mega kernel (kernels/macenko_stream.py) on
+# >STREAM_MIN_ELEMS rows: interpret-parity-verified; flips to True once the
+# compiled-TPU measurement confirms it beats the staged path in context
+# (project invariant: kernels become defaults only when measured faster).
+STREAM_MEGA_ENABLED = False
+
 
 def _select_route(p: int, use_pallas: bool) -> str:
     if not use_pallas:
@@ -282,6 +288,18 @@ def macenko_transform(
             # faster than the jnp fast path, so "fast" has nothing to trade
             # away here (precision still selects dtype policy on fallbacks).
             return _macenko_transform_fused(images, stain_matrix, target_max_conc)
+        if (
+            STREAM_MEGA_ENABLED
+            and images.dtype in (jnp.uint8, jnp.float32)
+            and images.shape[2] * images.shape[3] > STREAM_MIN_ELEMS
+        ):
+            # Rows past the staged path's resident-selection budget run the
+            # STREAMING mega kernel: whole transform per image, bytes stay
+            # in HBM, chunked recompute per pass (same math as the mega
+            # kernel — kernels/macenko_stream.py).
+            from stainx_tpu.kernels.macenko_stream import macenko_transform_stream
+
+            return macenko_transform_stream(images, stain_matrix, target_max_conc)
 
     original_dtype = images.dtype
     was_uint8 = original_dtype == jnp.uint8

@@ -273,6 +273,87 @@ class TestSelectionKernel:
         np.testing.assert_allclose(np.asarray(mc_x), np.asarray(mc_p), rtol=1e-5)
 
 
+class TestStreamingMegaKernel:
+    """Streaming whole-transform kernel (kernels/macenko_stream.py) — the
+    >VMEM-row Macenko path: bytes stay in HBM, chunked recompute per pass.
+    Same math as the mega kernel; differences are accumulation-order ulps
+    (chunked vs whole-row moment sums), bounded at 1 grey level."""
+
+    def _fit(self):
+        import jax.numpy as jnp
+
+        from stainx_tpu.ops import macenko as mk
+
+        return mk.macenko_fit(jnp.asarray(oracle_tile(64)))
+
+    @pytest.mark.parametrize("shape", [(200, 350), (64, 64)])
+    def test_matches_mega_kernel(self, shape):
+        """Multi-chunk (200×350 pads into 2 chunks) and single-chunk rows."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.macenko_fused import macenko_transform_mega
+        from stainx_tpu.kernels.macenko_stream import macenko_transform_stream
+
+        h, w = shape
+        src = np.concatenate(
+            [oracle_tile_hw(h, w, seed=9, he_scale=1.2), oracle_tile_hw(h, w, seed=3)]
+        )
+        he, tmc = self._fit()
+        out_s = np.asarray(macenko_transform_stream(jnp.asarray(src), he, tmc, interpret=True))
+        out_m = np.asarray(macenko_transform_mega(jnp.asarray(src), he, tmc, interpret=True))
+        np.testing.assert_allclose(
+            out_s.astype(np.float32), out_m.astype(np.float32), atol=1.0
+        )
+
+    def test_float32_matches_mega(self):
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.macenko_fused import macenko_transform_mega
+        from stainx_tpu.kernels.macenko_stream import macenko_transform_stream
+
+        src = jnp.asarray(oracle_tile_hw(96, 96, seed=5)).astype(jnp.float32) / 255.0
+        he, tmc = self._fit()
+        out_s = np.asarray(macenko_transform_stream(src, he, tmc, interpret=True))
+        out_m = np.asarray(macenko_transform_mega(src, he, tmc, interpret=True))
+        np.testing.assert_allclose(out_s, out_m, atol=1.0)
+
+    def test_uniform_background_tile_finite_and_uniform(self):
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.macenko_stream import macenko_transform_stream
+
+        he, tmc = self._fit()
+        white = np.full((1, 3, 32, 32), 250, np.uint8)
+        out = np.asarray(
+            macenko_transform_stream(jnp.asarray(white), he, tmc, interpret=True)
+        ).astype(np.float32)
+        assert np.isfinite(out).all()
+        assert (np.ptp(out.reshape(3, -1), axis=1) == 0.0).all()
+
+    def test_routing_above_stream_threshold(self, monkeypatch):
+        """macenko_transform routes >STREAM_MIN_ELEMS uint8/f32 rows through
+        the streaming kernel (threshold shrunk so the test stays small)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels import macenko_fused as mf
+        from stainx_tpu.ops import macenko as mk
+
+        monkeypatch.setattr(mk, "STREAM_MIN_ELEMS", 4096)
+        monkeypatch.setattr(mk, "STREAM_MEGA_ENABLED", True)
+        monkeypatch.setattr(mf, "MAX_FUSED_PIXELS", 1024)
+        src = oracle_tile_hw(96, 96, seed=11, he_scale=1.1)
+        he, tmc = self._fit()
+        out_routed = np.asarray(
+            mk.macenko_transform(jnp.asarray(src), he, tmc, use_pallas=True)
+        )
+        out_xla = np.asarray(
+            mk.macenko_transform(jnp.asarray(src), he, tmc, use_pallas=False)
+        )
+        np.testing.assert_allclose(
+            out_routed.astype(np.float32), out_xla.astype(np.float32), atol=1.0
+        )
+
+
 class TestStreamingSelectionKernel:
     """O(scalars)-state streaming selection (kernels/selection_stream.py) —
     the >VMEM-row replacement for the resident radix kernel (reference
@@ -379,13 +460,17 @@ class TestStreamingSelectionKernel:
 
 
 def oracle_tile(size, seed=42, he_scale=1.0):
+    return oracle_tile_hw(size, size, seed=seed, he_scale=he_scale)
+
+
+def oracle_tile_hw(h, w, seed=42, he_scale=1.0):
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
     from oracles import numpy_reference as oracle
 
-    return oracle.synthetic_he_tile(size, size, seed=seed, he_scale=he_scale)
+    return oracle.synthetic_he_tile(h, w, seed=seed, he_scale=he_scale)
 
 
 class TestReinhardFusedKernel:
