@@ -111,13 +111,17 @@ def main() -> None:
     from oracles import reference_torch as ref_torch
 
     if ref_torch.available():
+        # Transform-only closures: this library's modes time transform in
+        # isolation, so the peer series must exclude fit cost too.
         if args.method == "macenko":
             he_r, mc_r = ref_torch.macenko_fit(ref)
             peer = lambda: ref_torch.macenko_transform(src, he_r, mc_r)
         elif args.method == "reinhard":
-            peer = lambda: ref_torch.reinhard(ref, src)
+            peer_t = ref_torch.reinhard_fitted(ref)
+            peer = lambda: peer_t(src)
         else:
-            peer = lambda: ref_torch.histogram_matching(ref, src)
+            peer_t = ref_torch.histogram_matching_fitted(ref)
+            peer = lambda: peer_t(src)
         peer_out = peer()  # warm caches / JIT-free but first-call effects
         t0 = time.perf_counter()
         n_peer = 3

@@ -30,6 +30,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/stainx_jax_cache")
@@ -75,9 +76,13 @@ def main() -> None:
 
         # Warm the compile (and the page cache — a real WSI store is far
         # larger than RAM; rerun with --tiles sized past RAM to measure
-        # cold-IO numbers).
-        first = next(iter(loader()))
-        jax.block_until_ready(transform(first))
+        # cold-IO numbers). Loader batches are zero-copy views into a slot
+        # that is refilled as soon as the NEXT batch is requested — copy
+        # anything that must outlive the iteration (RawTileLoader contract).
+        for batch in loader():
+            first = batch.copy()
+            break
+        float(jnp.asarray(transform(first)).reshape(-1)[0])  # fetch = real barrier
 
         n_batches = len(loader())
         n_imgs = n_batches * args.batch
@@ -89,13 +94,19 @@ def main() -> None:
             checksum += int(batch[0, 0, 0, 0])  # touch the buffer
         t_ingest = time.perf_counter() - t0
 
-        # --- compute-only (resident batch, chained dispatches) --------------
+        # --- compute-only (resident batch) -----------------------------------
+        # Enqueue every dispatch, then fetch ONE scalar from the last output:
+        # the device queue executes in order, so the fetch is a barrier over
+        # the whole loop. (block_until_ready can return early through the TPU
+        # relay — CLAUDE.md; the scalar fetch is the honest barrier. The loop
+        # shape mirrors the end-to-end loop so per-dispatch overhead is paid
+        # identically in both.)
         resident = jax.block_until_ready(jax.device_put(first))
         t0 = time.perf_counter()
         out = None
         for _ in range(n_batches):
-            out = transform(resident)
-        jax.block_until_ready(out)
+            out = jnp.asarray(transform(resident))
+        float(out.reshape(-1)[0])
         t_compute = time.perf_counter() - t0
 
         # --- end-to-end: IO under the TPU's async dispatch ------------------
@@ -103,10 +114,12 @@ def main() -> None:
         out = None
         for batch in loader():
             # device_put + dispatch return immediately; the reader threads
-            # fill the other slot while the TPU works. np.ascontiguousarray
-            # copies out of the recycled slot buffer before the next refill.
-            out = transform(jax.device_put(np.ascontiguousarray(batch)))
-        jax.block_until_ready(out)
+            # fill the other slot while the TPU works. The .copy() moves the
+            # bytes out of the recycled slot buffer before the next refill
+            # (device_put is async — it may still be reading the host buffer
+            # when the slot is reused).
+            out = jnp.asarray(transform(jax.device_put(batch.copy())))
+        float(out.reshape(-1)[0])  # device queue is in-order: last done = all done
         t_e2e = time.perf_counter() - t0
 
         mpix = n_imgs * args.size * args.size / 1e6

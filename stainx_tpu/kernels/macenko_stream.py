@@ -148,7 +148,10 @@ def _stream_mega_kernel(
         for w_mask in (bmask, valid):
             w = w_mask.astype(jnp.float32)
             out += [
-                jnp.sum(w),
+                # Count in int32: it feeds nearest-rank indices, and an f32
+                # running sum loses integer exactness past 2^24 — exactly
+                # the >16.7M-px rows this kernel exists for (4096²+).
+                jnp.sum(w_mask.astype(jnp.int32)),
                 jnp.sum(w * y[0]),
                 jnp.sum(w * y[1]),
                 jnp.sum(w * y[2]),
@@ -161,11 +164,14 @@ def _stream_mega_kernel(
             ]
         return tuple(a + o for a, o in zip(acc, out))
 
-    m = streamed(moments_body, (jnp.float32(0.0),) * 20)
-    use_all = m[0] < 3.0
-    cnt, s0, s1_, s2_, xx, xy, xz, yy, yz, zz = (
-        jnp.where(use_all, m[10 + k], m[k]) for k in range(10)
+    zf, zi = jnp.float32(0.0), jnp.int32(0)
+    m = streamed(moments_body, (zi,) + (zf,) * 9 + (zi,) + (zf,) * 9)
+    use_all = m[0] < 3
+    cnt_i32 = jnp.where(use_all, m[10], m[0])
+    s0, s1_, s2_, xx, xy, xz, yy, yz, zz = (
+        jnp.where(use_all, m[10 + k], m[k]) for k in range(1, 10)
     )
+    cnt = cnt_i32.astype(jnp.float32)
 
     safe = jnp.maximum(cnt, 1.0)
     mu0, mu1, mu2 = s0 / safe, s1_ / safe, s2_ / safe
@@ -270,7 +276,7 @@ def _stream_mega_kernel(
         pseudo = _pseudo_angle(t0, t1)
         return _ikey_view(_monotone_key(jnp.where(eff, pseudo, jnp.inf)))
 
-    cnt_i = jnp.round(cnt).astype(jnp.int32)
+    cnt_i = cnt_i32
     from stainx_tpu.ops.percentile import nearest_rank_index
 
     r_lo = nearest_rank_index(alpha, cnt_i)

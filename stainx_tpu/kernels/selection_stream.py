@@ -54,7 +54,13 @@ _LANE = 128
 _SENT_IK = 0x7F800000  # signed view of the +inf sentinel key
 _I32MAX = 0x7FFFFFFF
 _I32MIN = -0x80000000
-_MAX_SWEEPS = 12  # ≥ guaranteed bound for every supported n_cuts
+# Sweep backstop. With unit-floored even cuts (see _cuts) the worst-case
+# sweep count for n_cuts=16 over the full int32 key space is 11: eight
+# 16×-narrowing sweeps from 2^32 to span ≈ 32, two tail sweeps through the
+# sub-n_cuts regime (unit cuts resolve any span < n_cuts in one sweep),
+# and the terminal-detection sweep. Wider ladders only narrow faster;
+# n_cuts < 16 is rejected at the API (the bound would exceed this cap).
+_MAX_SWEEPS = 12
 # Per-buffer chunk: 8192 sublanes × 128 lanes × 4 B = 4 MB; two buffers keep
 # the DMA of chunk c+1 in flight under chunk c's count passes.
 CHUNK_SUB = 8192
@@ -72,7 +78,15 @@ def _cuts(klo, khi, below, at, r, n_cuts: int):
     hi_cut = jnp.maximum(top - 1, klo)  # cuts live strictly inside, when possible
     uklo = klo.astype(jnp.uint32)
     span_u = khi.astype(jnp.uint32) - uklo  # exact: khi ≥ klo
-    step = span_u // jnp.uint32(n_cuts)
+    # step ≥ 1: when the span drops below n_cuts a zero step would collapse
+    # every even cut onto klo and narrowing degrades to ONE occupied key per
+    # sweep — a duplicate-heavy tail (ulp-adjacent keys under a large
+    # cluster) then outruns _MAX_SWEEPS and the backstop exits on a
+    # non-terminal klo. Unit cuts give every key in a sub-n_cuts span its
+    # own cut, so such intervals resolve in a single sweep and the sweep
+    # bound is the even-ladder one (≤ 11 for n_cuts=16 over the full int32
+    # key space).
+    step = jnp.maximum(span_u // jnp.uint32(n_cuts), jnp.uint32(1))
     evens = [
         jnp.minimum((uklo + jnp.uint32(m) * step).astype(jnp.int32), hi_cut)
         for m in range(1, n_cuts)
@@ -287,6 +301,11 @@ def kth_smallest_streaming(
     """
     if interpret is None:
         interpret = interpret_mode()
+    if n_cuts < 16:
+        raise ValueError(
+            f"n_cuts={n_cuts}: must be >= 16 (the _MAX_SWEEPS backstop is "
+            "sized for the 16-ary ladder's worst-case sweep count)"
+        )
     rows, p = x.shape
     k_ranks = ranks.shape[1]
     ik = _ikey_view(_monotone_key(x.astype(jnp.float32)))

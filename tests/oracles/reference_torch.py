@@ -71,6 +71,18 @@ def reinhard(ref_img: np.ndarray, src: np.ndarray) -> np.ndarray:
     return _n(norm.transform(_t(src)))
 
 
+def reinhard_fitted(ref_img: np.ndarray):
+    """Fit once, return a transform-only closure — for benchmarks that time
+    transform in isolation (this library's modes exclude fit cost; the peer
+    series must too)."""
+    import torch
+
+    ref = load_reference()
+    norm = ref.Reinhard(device=torch.device("cpu"), backend="torch")
+    norm.fit(_t(ref_img))
+    return lambda src: _n(norm.transform(_t(src)))
+
+
 # ------------------------------------------------------------------- Macenko
 def macenko_fit(ref_img: np.ndarray):
     """Reference Macenko fit → (stain_matrix (3,2), target_max_conc (2,))."""
@@ -106,3 +118,15 @@ def histogram_matching(ref_img: np.ndarray, src: np.ndarray, channel_axis: int =
     )
     norm.fit(_t(ref_img))
     return _n(norm.transform(_t(src)))
+
+
+def histogram_matching_fitted(ref_img: np.ndarray, channel_axis: int = 1):
+    """Fit once, return a transform-only closure (see reinhard_fitted)."""
+    import torch
+
+    ref = load_reference()
+    norm = ref.HistogramMatching(
+        device=torch.device("cpu"), backend="torch", channel_axis=channel_axis
+    )
+    norm.fit(_t(ref_img))
+    return lambda src: _n(norm.transform(_t(src)))

@@ -390,6 +390,37 @@ class TestStreamingSelectionKernel:
         np.testing.assert_array_equal(got, expect)
         np.testing.assert_array_equal(twin, expect)
 
+    def test_ulp_adjacent_tail_under_large_cluster(self):
+        """Worst case for the interval ladder: the rank element sits at the
+        top of a run of ulp-adjacent single-member keys squeezed under a
+        large duplicate cluster in the SAME sub-n_cuts key window. A zero
+        even-cut step would degrade narrowing to one occupied key per sweep
+        and outrun the _MAX_SWEEPS backstop (silent wrong key); the
+        unit-floored cuts must resolve the window in one sweep."""
+        from stainx_tpu.kernels.selection_stream import (
+            kth_smallest_streaming,
+            kth_smallest_streaming_reference,
+        )
+
+        vals = [np.float32(1.0)]
+        for _ in range(14):
+            vals.append(np.nextafter(vals[-1], np.float32(np.inf), dtype=np.float32))
+        # 14 single-member keys, then 3000 members on the 15th key: the
+        # interpolated cut's rank fraction is ~1e-3, so it floors to klo.
+        row = np.concatenate(
+            [np.array(vals[:14], np.float32), np.full(3000, vals[14], np.float32)]
+        )[None]
+        ranks = np.array([[13, 3013]], np.int32)
+        expect = np.array([[vals[13], vals[14]]], np.float32)
+        got = np.asarray(
+            kth_smallest_streaming(jnp.asarray(row), jnp.asarray(ranks), interpret=True)
+        )
+        twin = np.asarray(
+            kth_smallest_streaming_reference(jnp.asarray(row), jnp.asarray(ranks))
+        )
+        np.testing.assert_array_equal(got, expect)
+        np.testing.assert_array_equal(twin, expect)
+
     def test_masked_sentinels_and_init(self):
         """+inf sentinels are excluded; the caller-supplied (min, max, n)
         init must select identically while skipping the discovery sweep."""

@@ -290,8 +290,14 @@ class TestStreamingSelectionRoute:
 
     def test_stream_route_matches_xla(self, monkeypatch):
         """Force the streaming route at a small size: fit + transform must
-        match the xla path within the shared 1-grey quantization bound."""
+        match the xla path within the shared 1-grey quantization bound.
+        MAX_FUSED_PIXELS is shrunk too — otherwise the resident mega kernel
+        short-circuits the transform before the route is consulted and the
+        staged stream-select path is never exercised."""
+        from stainx_tpu.kernels import macenko_fused as mf
+
         monkeypatch.setattr(macenko_ops, "STREAM_MIN_ELEMS", 1024)
+        monkeypatch.setattr(mf, "MAX_FUSED_PIXELS", 1024)
         ref_img = oracle.synthetic_he_tile(96, 96, seed=42)
         src = np.concatenate(
             [oracle.synthetic_he_tile(96, 96, seed=s, he_scale=1.2) for s in (3, 4)]
@@ -312,8 +318,12 @@ class TestStreamingSelectionRoute:
 
     def test_stream_route_white_tile_finite(self, monkeypatch):
         """Empty β-mask through the streaming route: the <3-pixel fallback
-        plus sentinel selection must stay finite."""
+        plus sentinel selection must stay finite. (MAX_FUSED_PIXELS shrunk
+        so the resident mega kernel cannot short-circuit the route.)"""
+        from stainx_tpu.kernels import macenko_fused as mf
+
         monkeypatch.setattr(macenko_ops, "STREAM_MIN_ELEMS", 1024)
+        monkeypatch.setattr(mf, "MAX_FUSED_PIXELS", 1024)
         ref_img = oracle.synthetic_he_tile(96, 96, seed=42)
         he, mc = macenko_ops.macenko_fit(jnp.asarray(ref_img), use_pallas=False)
         white = np.full((1, 3, 96, 96), 255, np.uint8)
