@@ -38,9 +38,12 @@ from stainx_tpu.kernels import interpret_mode
 
 _B = 16  # 4 radix bits per level
 _LANE = 128
-# Row ceiling: a 2048² row (16 MB f32) peaks at a measured 109 MB of scoped
-# VMEM (key/iota/member temporaries) — inside the raised 120 MB cap on v5e,
-# where it selects in 6.3 ms vs 1.8 s for the jnp sampled refinement.
+# Resident-kernel row ceiling: a 2048² row (16 MB f32) peaks at a measured
+# 109 MB of scoped VMEM (key/iota/member temporaries) — inside the raised
+# 120 MB cap on v5e. Since round 3 this is only a guard for DIRECT callers:
+# the routing ladder sends rows > STREAM_MIN_ELEMS (2M) to the O(scalars)-
+# state streaming kernel (selection_stream.py), so no library path rides
+# this near-full-VMEM tier and the library itself has no row-size cap.
 MAX_ROW_ELEMS = 4_194_304  # 2048²
 
 
