@@ -163,8 +163,13 @@ _NS = 8  # scalars of while-carry per descent
 #   "cum16" — full 16-bucket cumulative counts per level on the hoisted
 #             key view: every level resolves in ONE iteration (no probe
 #             misses, no narrows); iterations == nibble levels descended.
+#             Measured LOSS at 64×512²: 2 624 vs ikdep 3 758 MPix/s —
+#             16 distinct cumulative thresholds are 16 real compare+sum
+#             passes (the ~17%-for-16-counts economics only covers counts
+#             sharing one probe pattern). Ablation mode only.
 #   "cum256" — byte-wide levels: 256 cumulative counts resolve 8 bits
-#             per iteration (≤ 4 iterations total). Ablation mode.
+#             per iteration (≤ 4 iterations total). Measured 444 MPix/s
+#             at 64×512² (8.5× slower than ikdep). Ablation mode only.
 #   "ikdep" — dep's exact algorithm, but every compare runs on a HOISTED
 #             signed-key array against scalar key-space bucket bounds:
 #             no per-iteration group shift, igroup xor, or ik recompute —
