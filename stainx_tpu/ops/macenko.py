@@ -184,6 +184,8 @@ STREAM_MIN_ELEMS = 2_097_152
 # staged jnp+streaming-select 6.15 ms (1 363 MPix/s), both MAE 0.009 vs
 # the numpy oracle and within 1 grey level of each other — the kernel
 # earned the default slot (project invariant: measured faster in context).
+# With the descent key cache it reaches 2 648 MPix/s at 2048² / 2 450 at
+# 4096² (same MAE; bit-exact vs the uncached form).
 STREAM_MEGA_ENABLED = True
 
 
