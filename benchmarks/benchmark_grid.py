@@ -43,8 +43,8 @@ def _build(method: str, ref: np.ndarray):
         params = rh_ops.reinhard_fit(jax.device_put(ref))
         return lambda x: rh_ops.reinhard_transform(x, *params)
     if method == "histogram_matching":
-        hist = hm_ops.hm_fit(jax.device_put(ref))
-        return lambda x: hm_ops.hm_transform(x, hist)
+        hist = hm_ops.hm_fit(jax.device_put(ref), use_pallas=pallas)
+        return lambda x: hm_ops.hm_transform(x, hist, use_pallas=pallas)
     raise ValueError(method)
 
 
