@@ -28,8 +28,16 @@ import numpy as np
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=2048)
+    ap.add_argument("--height", type=int, default=None, help="row height (default --size)")
+    ap.add_argument("--width", type=int, default=None, help="row width (default --size)")
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--runs", type=int, default=10)
+    ap.add_argument(
+        "--dtype",
+        default="uint8",
+        choices=["uint8", "float32"],
+        help="input dtype: uint8 [0,255] or float32 [0,1] (the two streaming-tier dtypes)",
+    )
     ap.add_argument(
         "--paths",
         nargs="*",
@@ -50,10 +58,13 @@ def main() -> None:
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     on_tpu = jax.default_backend() == "tpu"
+    h = args.height or args.size
+    w = args.width or args.size
     ref = jax.device_put(synthetic_he_batch(1, 512, 512, seed=42))
-    batch = jax.device_put(
-        synthetic_he_batch(args.batch, args.size, args.size, seed=123)
-    )
+    batch_np = synthetic_he_batch(args.batch, h, w, seed=123)
+    if args.dtype == "float32":
+        batch_np = batch_np.astype(np.float32) / 255.0
+    batch = jax.device_put(batch_np)
     he, tmc = macenko_fit(ref, use_pallas=on_tpu)
     he = jax.device_put(np.asarray(he))
     tmc = jax.device_put(np.asarray(tmc))
@@ -95,11 +106,11 @@ def main() -> None:
                 file=sys.stderr,
             )
 
-        mpix = args.batch * args.size * args.size / 1e6
+        mpix = args.batch * h * w / 1e6
         for name in args.paths:
             secs = time_on_device(fns[name], batch, runs=args.runs)
             print(
-                f"{name} {args.batch}x3x{args.size}x{args.size}: "
+                f"{name}[{args.dtype}] {args.batch}x3x{h}x{w}: "
                 f"{secs * 1e3:.2f} ms/batch, {mpix / secs:.0f} MPix/s"
             )
     finally:

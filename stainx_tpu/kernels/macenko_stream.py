@@ -291,24 +291,32 @@ def _stream_mega_kernel(
                 kwrite(slot, t, f).start()
             return count_all(iks, per_d0, all_cuts0, acc)
 
+        def step_states(per_d, all_cuts, acc):
+            """One `_descend_step` per descent from its accumulator slice —
+            the ONLY place the accumulator layout meets the step signature
+            (shared by the peeled sweep and the while-loop body so they
+            cannot desynchronize)."""
+            out = []
+            for d in range(k_d):
+                a = acc[_NA * d : _NA * (d + 1)]
+                out.extend(
+                    _descend_step(
+                        *per_d[d],
+                        ranks[d],
+                        all_cuts[d],
+                        list(a[: _N_CUTS + 1]),
+                        a[_N_CUTS + 1],
+                        a[_N_CUTS + 2],
+                    )
+                )
+            return out
+
         acc = streamed(write_body, acc0)
         for t_tail in range(max(n_chunks - 2, 0), n_chunks):
             for f in range(n_fields):
                 kwrite(t_tail % 2, t_tail, f).wait()
 
-        state = [jnp.int32(1)]
-        for d in range(k_d):
-            a = acc[_NA * d : _NA * (d + 1)]
-            state.extend(
-                _descend_step(
-                    *per_d0[d],
-                    ranks[d],
-                    all_cuts0[d],
-                    list(a[: _N_CUTS + 1]),
-                    a[_N_CUTS + 1],
-                    a[_N_CUTS + 2],
-                )
-            )
+        state = [jnp.int32(1)] + step_states(per_d0, all_cuts0, acc)
 
         def cond(state):
             alive = jnp.asarray(False)
@@ -340,20 +348,7 @@ def _stream_mega_kernel(
                 kread(0, 0, f).start()
             acc = jax.lax.fori_loop(0, n_chunks, sweep_body, acc0)
 
-            new_state = [state[0] + 1]
-            for d in range(k_d):
-                a = acc[_NA * d : _NA * (d + 1)]
-                new_state.extend(
-                    _descend_step(
-                        *per_d[d],
-                        ranks[d],
-                        all_cuts[d],
-                        list(a[: _N_CUTS + 1]),
-                        a[_N_CUTS + 1],
-                        a[_N_CUTS + 2],
-                    )
-                )
-            return tuple(new_state)
+            return tuple([state[0] + 1] + step_states(per_d, all_cuts, acc))
 
         state = jax.lax.while_loop(cond, body, tuple(state))
         return [state[1 + _NS * d] for d in range(k_d)]
@@ -442,9 +437,12 @@ def _stream_mega_kernel(
 def macenko_transform_stream(
     images, stain_matrix, target_max_conc, interpret: bool | None = None
 ):
-    """Streaming one-kernel Macenko transform for rows of ANY size:
-    (N, 3, H, W) uint8/float32 [0,1] → normalized batch (same dtype,
-    [0,255] range). VMEM holds only chunk buffers; HBM holds the bytes."""
+    """Streaming one-kernel Macenko transform, (N, 3, H, W) uint8/float32
+    [0,1] → normalized batch (same dtype, [0,255] range). VMEM holds only
+    chunk buffers; HBM holds the bytes. Row-size cap is HBM, not VMEM:
+    input + output + the 8 B/px key cache ≈ 14 B/px uint8 (32 B/px f32),
+    ~1.1 G px (33k²) uint8 on a 16 GB v5e — below the int32 rank space's
+    2.1 G px."""
     if interpret is None:
         interpret = interpret_mode()
     n, c, h, w = images.shape

@@ -174,12 +174,13 @@ def _concentrations_2x2(he: jnp.ndarray, od_c) -> tuple[jnp.ndarray, jnp.ndarray
 # the VMEM-resident radix kernel wins (fewer sweeps on sync-bound sizes).
 # 2M elems keeps the resident kernel's peak well under half the 128 MB
 # physical VMEM — the round-2 "127.6 of 128 MB knife edge" is retired:
-# 2048² rows (4.19M) now stream, and the row-size cap is the int32 rank
-# space, not VMEM.
+# 2048² rows (4.19M) now stream. The row-size cap is HBM (in + out + the
+# streaming kernel's 8 B/px descent key cache ≈ 14 B/px uint8 → ~1.1 G px
+# per 16 GB chip), not VMEM; the int32 rank space (2.1 G px) sits above it.
 STREAM_MIN_ELEMS = 2_097_152
 
-# Gate for the streaming mega kernel (kernels/macenko_stream.py) on
-# >STREAM_MIN_ELEMS rows. Measured on v5e (benchmarks/bench_stream_mega,
+# Gate for the streaming mega kernel (kernels/macenko_stream.py) on rows
+# past the resident mega's budget. Measured on v5e (benchmarks/bench_stream_mega,
 # 2×3×2048×2048 uint8): streaming mega 4.54 ms/batch (1 847 MPix/s) vs
 # staged jnp+streaming-select 6.15 ms (1 363 MPix/s), both MAE 0.009 vs
 # the numpy oracle and within 1 grey level of each other — the kernel
@@ -292,15 +293,16 @@ def macenko_transform(
             # faster than the jnp fast path, so "fast" has nothing to trade
             # away here (precision still selects dtype policy on fallbacks).
             return _macenko_transform_fused(images, stain_matrix, target_max_conc)
-        if (
-            STREAM_MEGA_ENABLED
-            and images.dtype in (jnp.uint8, jnp.float32)
-            and images.shape[2] * images.shape[3] > STREAM_MIN_ELEMS
-        ):
-            # Rows past the staged path's resident-selection budget run the
-            # STREAMING mega kernel: whole transform per image, bytes stay
-            # in HBM, chunked recompute per pass (same math as the mega
-            # kernel — kernels/macenko_stream.py).
+        if STREAM_MEGA_ENABLED and images.dtype in (jnp.uint8, jnp.float32):
+            # EVERY supported-dtype row past the resident mega's budget runs
+            # the STREAMING mega kernel: whole transform per image, bytes
+            # stay in HBM, chunked key-cached descents
+            # (kernels/macenko_stream.py). The former middle "gap tier"
+            # (uint8 1.31–2M px, f32 0.5–2M px) went to the staged jnp
+            # path; racing both on v5e retired it — streaming wins the
+            # whole gap: uint8 1280² 2 447 vs 1 975, uint8 1408² 1 852 vs
+            # 1 693, f32 1024² 2 186 vs 2 067, f32 768² 1 493 vs 1 277
+            # MPix/s (benchmarks/bench_stream_mega --dtype/--size).
             from stainx_tpu.kernels.macenko_stream import macenko_transform_stream
 
             return macenko_transform_stream(images, stain_matrix, target_max_conc)

@@ -317,6 +317,26 @@ class TestStreamingMegaKernel:
         out_m = np.asarray(macenko_transform_mega(src, he, tmc, interpret=True))
         np.testing.assert_allclose(out_s, out_m, atol=1.0)
 
+    def test_multichunk_dma_steady_state(self):
+        """≥3-chunk rows reach the key-cache DMA steady state that the
+        2-chunk shapes above never do: write_body's ``t >= 2`` kwrite
+        wait, sweep_body's mid-stream kread prefetch, and the 2-deep
+        output-DMA pipeline. 300×800 = 240 000 px pads to 4 chunks with
+        a partial tail, so slot/index errors in the pipelined waits would
+        corrupt cached keys here instead of only on-chip at 2048²."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.macenko_fused import macenko_transform_mega
+        from stainx_tpu.kernels.macenko_stream import macenko_transform_stream
+
+        src = oracle_tile_hw(300, 800, seed=21, he_scale=1.15)
+        he, tmc = self._fit()
+        out_s = np.asarray(macenko_transform_stream(jnp.asarray(src), he, tmc, interpret=True))
+        out_m = np.asarray(macenko_transform_mega(jnp.asarray(src), he, tmc, interpret=True))
+        np.testing.assert_allclose(
+            out_s.astype(np.float32), out_m.astype(np.float32), atol=1.0
+        )
+
     def test_uniform_background_tile_finite_and_uniform(self):
         import jax.numpy as jnp
 
@@ -331,14 +351,15 @@ class TestStreamingMegaKernel:
         assert (np.ptp(out.reshape(3, -1), axis=1) == 0.0).all()
 
     def test_routing_above_stream_threshold(self, monkeypatch):
-        """macenko_transform routes >STREAM_MIN_ELEMS uint8/f32 rows through
-        the streaming kernel (threshold shrunk so the test stays small)."""
+        """macenko_transform routes EVERY uint8/f32 row past the resident
+        mega's budget through the streaming kernel — no middle tier (the
+        staged gap was raced away; see ops/macenko.py). Budget shrunk so
+        the test stays small."""
         import jax.numpy as jnp
 
         from stainx_tpu.kernels import macenko_fused as mf
         from stainx_tpu.ops import macenko as mk
 
-        monkeypatch.setattr(mk, "STREAM_MIN_ELEMS", 4096)
         monkeypatch.setattr(mk, "STREAM_MEGA_ENABLED", True)
         monkeypatch.setattr(mf, "MAX_FUSED_PIXELS", 1024)
         src = oracle_tile_hw(96, 96, seed=11, he_scale=1.1)

@@ -293,10 +293,14 @@ class TestStreamingSelectionRoute:
         match the xla path within the shared 1-grey quantization bound.
         MAX_FUSED_PIXELS is shrunk too — otherwise the resident mega kernel
         short-circuits the transform before the route is consulted and the
-        staged stream-select path is never exercised."""
+        staged stream-select path is never exercised; STREAM_MEGA is
+        forced off because the streaming mega kernel now owns every
+        supported-dtype row past the fused budget (this staged route
+        remains the bf16/f16/f64 and opt-out fallback)."""
         from stainx_tpu.kernels import macenko_fused as mf
 
         monkeypatch.setattr(macenko_ops, "STREAM_MIN_ELEMS", 1024)
+        monkeypatch.setattr(macenko_ops, "STREAM_MEGA_ENABLED", False)
         monkeypatch.setattr(mf, "MAX_FUSED_PIXELS", 1024)
         ref_img = oracle.synthetic_he_tile(96, 96, seed=42)
         src = np.concatenate(
@@ -319,10 +323,13 @@ class TestStreamingSelectionRoute:
     def test_stream_route_white_tile_finite(self, monkeypatch):
         """Empty β-mask through the streaming route: the <3-pixel fallback
         plus sentinel selection must stay finite. (MAX_FUSED_PIXELS shrunk
-        so the resident mega kernel cannot short-circuit the route.)"""
+        so the resident mega kernel cannot short-circuit the route;
+        STREAM_MEGA off so the staged stream-select path is the one
+        under test.)"""
         from stainx_tpu.kernels import macenko_fused as mf
 
         monkeypatch.setattr(macenko_ops, "STREAM_MIN_ELEMS", 1024)
+        monkeypatch.setattr(macenko_ops, "STREAM_MEGA_ENABLED", False)
         monkeypatch.setattr(mf, "MAX_FUSED_PIXELS", 1024)
         ref_img = oracle.synthetic_he_tile(96, 96, seed=42)
         he, mc = macenko_ops.macenko_fit(jnp.asarray(ref_img), use_pallas=False)
