@@ -67,17 +67,24 @@ from stainx_tpu.kernels.selection import _f32_from_ik_scalar, _ikey_view, _monot
 from stainx_tpu.kernels.selection_stream import (
     _I32MAX,
     _I32MIN,
-    _MAX_SWEEPS,
     _SENT_IK,
     _cuts,
     _descend_step,
     _sweep_masks,
+    stream_max_sweeps,
 )
 
 _LANE = 128
 _SUB = 32
 _CK = 2048  # chunk lanes: 64 K px per chunk, 64 KB uint8 per channel buffer
-_N_CUTS = 16
+# Ladder width. Unlike the fit-path streaming selection (4 MB f32 chunks,
+# DMA-heavier sweeps), the mega kernel's sweeps are COMPUTE-bound (~10× the
+# chunk-DMA cost), so per-sweep count work ~ n_cuts dominates and narrow
+# ladders win despite more sweeps: measured at 2×2048² uint8 on v5e,
+# 16 cuts = 2 648, 8 = 2 810, 6 = 2 814–2 885 (most stable), 4 = 2 889–3 025
+# (relay-noisy), 32 = 1 744 MPix/s; all bit-identical. 6 is the default.
+_N_CUTS = 6
+_MAX_SWEEPS = stream_max_sweeps(_N_CUTS)
 
 
 def _od_from_chunk(planes, is_uint8: bool):

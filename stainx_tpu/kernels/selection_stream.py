@@ -39,6 +39,7 @@ Macenko call sites select the field by its own order).
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -54,13 +55,18 @@ _LANE = 128
 _SENT_IK = 0x7F800000  # signed view of the +inf sentinel key
 _I32MAX = 0x7FFFFFFF
 _I32MIN = -0x80000000
-# Sweep backstop. With unit-floored even cuts (see _cuts) the worst-case
-# sweep count for n_cuts=16 over the full int32 key space is 11: eight
-# 16×-narrowing sweeps from 2^32 to span ≈ 32, two tail sweeps through the
-# sub-n_cuts regime (unit cuts resolve any span < n_cuts in one sweep),
-# and the terminal-detection sweep. Wider ladders only narrow faster;
-# n_cuts < 16 is rejected at the API (the bound would exceed this cap).
-_MAX_SWEEPS = 12
+def stream_max_sweeps(n_cuts: int) -> int:
+    """Worst-case sweep bound for an ``n_cuts``-ary even ladder over the
+    full int32 key space. With unit-floored even cuts (see :func:`_cuts`)
+    narrowing is a guaranteed ≥ n_cuts× per sweep, so the bound is
+    ``ceil(32 / log2(n_cuts))`` narrowing sweeps, two tail sweeps through
+    the sub-``n_cuts`` regime (unit cuts resolve any span < n_cuts in one
+    sweep), the terminal-detection sweep, and one sweep of margin. For
+    n_cuts=16 that is 8 + 2 + 1 + 1 = 12, matching the round-3 hardening
+    proof's ≤ 11 plus margin."""
+    if n_cuts < 2:
+        raise ValueError(f"n_cuts={n_cuts}: need at least 2 cuts per sweep")
+    return math.ceil(32 / math.log2(n_cuts)) + 4
 # Per-buffer chunk: 8192 sublanes × 128 lanes × 4 B = 4 MB; two buffers keep
 # the DMA of chunk c+1 in flight under chunk c's count passes.
 CHUNK_SUB = 8192
@@ -81,8 +87,8 @@ def _cuts(klo, khi, below, at, r, n_cuts: int):
     # step ≥ 1: when the span drops below n_cuts a zero step would collapse
     # every even cut onto klo and narrowing degrades to ONE occupied key per
     # sweep — a duplicate-heavy tail (ulp-adjacent keys under a large
-    # cluster) then outruns _MAX_SWEEPS and the backstop exits on a
-    # non-terminal klo. Unit cuts give every key in a sub-n_cuts span its
+    # cluster) then outruns the sweep backstop (stream_max_sweeps) and
+    # exits on a non-terminal klo. Unit cuts give every key in a sub-n_cuts span its
     # own cut, so such intervals resolve in a single sweep and the sweep
     # bound is the even-ladder one (≤ 11 for n_cuts=16 over the full int32
     # key space).
@@ -158,7 +164,18 @@ def _descend_step(klo, khi, below, at, done, r, cuts, cnt, gmin, gmax):
 
 
 def _stream_kernel(
-    ranks_ref, init_ref, ik_hbm, out_ref, buf, sem, *, k_ranks, n_chunks, n_cuts, has_init
+    ranks_ref,
+    init_ref,
+    ik_hbm,
+    out_ref,
+    buf,
+    sem,
+    *,
+    k_ranks,
+    n_chunks,
+    n_cuts,
+    has_init,
+    max_sweeps,
 ):
     i = pl.program_id(0)
 
@@ -170,7 +187,7 @@ def _stream_kernel(
         alive = jnp.asarray(False)
         for d in range(k_ranks):
             alive = alive | jnp.logical_not(state[1 + _NS * d + 4])
-        return alive & (it < _MAX_SWEEPS)
+        return alive & (it < max_sweeps)
 
     def body(state):
         it = state[0]
@@ -301,11 +318,7 @@ def kth_smallest_streaming(
     """
     if interpret is None:
         interpret = interpret_mode()
-    if n_cuts < 16:
-        raise ValueError(
-            f"n_cuts={n_cuts}: must be >= 16 (the _MAX_SWEEPS backstop is "
-            "sized for the 16-ary ladder's worst-case sweep count)"
-        )
+    max_sweeps = stream_max_sweeps(n_cuts)  # validates n_cuts >= 2
     rows, p = x.shape
     k_ranks = ranks.shape[1]
     ik = _ikey_view(_monotone_key(x.astype(jnp.float32)))
@@ -337,6 +350,7 @@ def kth_smallest_streaming(
         n_chunks=n_chunks,
         n_cuts=n_cuts,
         has_init=has_init,
+        max_sweeps=max_sweeps,
     )
     out_ik = pl.pallas_call(
         kernel,
@@ -356,6 +370,7 @@ def kth_smallest_streaming_reference(
     sums are associative, so results are bit-identical). Any backend."""
     rows, p = x.shape
     k_ranks = ranks.shape[1]
+    max_sweeps = stream_max_sweeps(n_cuts)
     ik_all = _ikey_view(_monotone_key(x.astype(jnp.float32)))
     init_arr = _init_keys(init) if init is not None else None
 
@@ -386,7 +401,7 @@ def kth_smallest_streaming_reference(
                 )
 
             def cond(s):
-                return jnp.logical_not(s[5]) & (s[0] < _MAX_SWEEPS)
+                return jnp.logical_not(s[5]) & (s[0] < max_sweeps)
 
             def body(s):
                 it, klo, khi, below, at, done = s

@@ -380,11 +380,19 @@ class TestStreamingSelectionKernel:
     the >VMEM-row replacement for the resident radix kernel (reference
     sort role: ``csrc/macenko.cu:52-58,209-216``)."""
 
-    # n_cuts=16 is the shipped ladder; the wider twins compile ~80 s of
+    # n_cuts=16 is the fit-path ladder and 6 the streaming-mega one
+    # (macenko_stream._N_CUTS); the wider twins compile ~80 s of
     # while-loops for variants nothing routes to — slow-tier coverage.
+    # 2 is the minimum the API accepts (pure bisection + interpolated cut).
     @pytest.mark.parametrize(
         "n_cuts",
-        [16, pytest.param(32, marks=pytest.mark.slow), pytest.param(64, marks=pytest.mark.slow)],
+        [
+            2,
+            6,
+            16,
+            pytest.param(32, marks=pytest.mark.slow),
+            pytest.param(64, marks=pytest.mark.slow),
+        ],
     )
     def test_matches_sort_and_jnp_twin(self, n_cuts):
         from stainx_tpu.kernels.selection_stream import (
@@ -411,13 +419,15 @@ class TestStreamingSelectionKernel:
         np.testing.assert_array_equal(got, expect)
         np.testing.assert_array_equal(twin, expect)
 
-    def test_ulp_adjacent_tail_under_large_cluster(self):
+    @pytest.mark.parametrize("n_cuts", [6, 16])
+    def test_ulp_adjacent_tail_under_large_cluster(self, n_cuts):
         """Worst case for the interval ladder: the rank element sits at the
         top of a run of ulp-adjacent single-member keys squeezed under a
         large duplicate cluster in the SAME sub-n_cuts key window. A zero
         even-cut step would degrade narrowing to one occupied key per sweep
-        and outrun the _MAX_SWEEPS backstop (silent wrong key); the
-        unit-floored cuts must resolve the window in one sweep."""
+        and outrun the stream_max_sweeps backstop (silent wrong key); the
+        unit-floored cuts must resolve the window within the bound — for
+        both the fit-path (16) and streaming-mega (6) ladder widths."""
         from stainx_tpu.kernels.selection_stream import (
             kth_smallest_streaming,
             kth_smallest_streaming_reference,
@@ -434,10 +444,14 @@ class TestStreamingSelectionKernel:
         ranks = np.array([[13, 3013]], np.int32)
         expect = np.array([[vals[13], vals[14]]], np.float32)
         got = np.asarray(
-            kth_smallest_streaming(jnp.asarray(row), jnp.asarray(ranks), interpret=True)
+            kth_smallest_streaming(
+                jnp.asarray(row), jnp.asarray(ranks), n_cuts=n_cuts, interpret=True
+            )
         )
         twin = np.asarray(
-            kth_smallest_streaming_reference(jnp.asarray(row), jnp.asarray(ranks))
+            kth_smallest_streaming_reference(
+                jnp.asarray(row), jnp.asarray(ranks), n_cuts=n_cuts
+            )
         )
         np.testing.assert_array_equal(got, expect)
         np.testing.assert_array_equal(twin, expect)
