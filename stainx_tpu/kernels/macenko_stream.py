@@ -77,12 +77,13 @@ from stainx_tpu.kernels.selection_stream import (
 _LANE = 128
 _SUB = 32
 _CK = 2048  # chunk lanes: 64 K px per chunk, 64 KB uint8 per channel buffer
-# Ladder width. Unlike the fit-path streaming selection (4 MB f32 chunks,
-# DMA-heavier sweeps), the mega kernel's sweeps are COMPUTE-bound (~10× the
+# Ladder width. The mega kernel's sweeps are COMPUTE-bound (~10× the
 # chunk-DMA cost), so per-sweep count work ~ n_cuts dominates and narrow
 # ladders win despite more sweeps: measured at 2×2048² uint8 on v5e,
 # 16 cuts = 2 648, 8 = 2 810, 6 = 2 814–2 885 (most stable), 4 = 2 889–3 025
-# (relay-noisy), 32 = 1 744 MPix/s; all bit-identical. 6 is the default.
+# (relay-noisy), 32 = 1 744 MPix/s; all bit-identical. 6 is the default —
+# and also the fit-path streaming selection's (selection_stream), where
+# the same race repeated on its DMA-heavier key-chunk sweeps.
 _N_CUTS = 6
 _MAX_SWEEPS = stream_max_sweeps(_N_CUTS)
 

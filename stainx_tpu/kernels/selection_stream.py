@@ -16,11 +16,14 @@ over the whole row (ONE compare per count — no interval membership mask),
 and the carried ``below``/``at`` prefix counts localise the rank, so a
 sub-interval choice never rebases the rank. A min/max "snap" over the
 interval's members pins the bounds to occupied keys and terminates
-duplicate clusters early. Wide ladders lose on VMEM-resident rows
-(sync-bound: 16 cuts measured 1 334–1 545 vs ~3 000 MPix/s at 224²/512²)
-but win here, where every extra sweep costs a full HBM re-read of the
-row; counts fuse into a shared traversal (measured: 16 counts cost ~17%
-more than 1).
+duplicate clusters early. Ladder width: wide ladders lose on
+VMEM-resident rows (sync-bound: 16 cuts measured 1 334–1 545 vs ~3 000
+MPix/s at 224²/512²), and although each extra sweep here costs a full
+HBM re-read, the count passes are COMPUTE-bound, so per-sweep count work
+(~linear in n_cuts) dominates the sweep count: at a 2×2048² masked-f32
+select with init, 16 cuts measured 1.82–1.92 ms vs 6 cuts 1.43–1.61 ms
+and 4 cuts 1.49 ms (bit-identical) — 6 is the default, matching the
+streaming mega kernel's measured optimum (macenko_stream._N_CUTS).
 
 With no ``init``, sweep 1 spans the whole int32 key space and doubles as
 the init pass (count + min/max snap land on the data's true bounds). The
@@ -302,7 +305,7 @@ def kth_smallest_streaming(
     x: jnp.ndarray,
     ranks: jnp.ndarray,
     init=None,
-    n_cuts: int = 16,
+    n_cuts: int = 6,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """(R, P) f32 with +inf sentinels, ranks (R, K) int32 → (R, K) values.
