@@ -25,9 +25,12 @@ class Reinhard(NormalizerTemplate):
         self._reference_mean, self._reference_std = reinhard_ops.reinhard_fit(images)
 
     # NOTE: XLA already fuses the whole RGB→LAB→affine→RGB chain into single
-    # HBM passes and measures faster than the hand-written fused kernel
-    # (5.5 vs 4.1 GPix/s on v5e) — the backend keeps the XLA path; the
-    # kernel remains available via reinhard_transform(use_pallas=True).
+    # HBM passes and measures faster than the hand-written kernels even
+    # after the round-3 rework gave the kernel path its own raw-byte
+    # moments kernel (XLA 3.10 ms vs kernels 3.44 ms at 64×512² uint8 on
+    # v5e; the chain is VPU-transcendental-bound, not bandwidth-bound —
+    # roofline in docs/benchmarks.md "Reinhard floor") — the backend keeps
+    # the XLA path; the kernels remain via reinhard_transform(use_pallas=True).
     def _transform_impl(self, images: jnp.ndarray) -> jnp.ndarray:
         self._validate_layout(images)
         return reinhard_ops.reinhard_transform(

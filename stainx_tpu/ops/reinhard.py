@@ -95,23 +95,30 @@ def reinhard_transform(
 
     Source statistics are **batch-global** (mean/std over N, H, W at once),
     exactly like the reference (``torch_backend.py:344-349``). Output dtype
-    matches input (uint8 → [0,255] uint8; float → [0,1] float). On the
-    pallas backend the apply runs as one fused VMEM-pass kernel
-    (:mod:`stainx_tpu.kernels.reinhard_fused`).
+    matches input (uint8 → [0,255] uint8; float → [0,1] float). With
+    ``use_pallas=True`` BOTH passes run as fused VMEM kernels
+    (:mod:`stainx_tpu.kernels.reinhard_fused`): the source stats come from
+    a moments kernel reading the raw bytes. Measured at 64×512² uint8 on
+    v5e the kernels still LOSE to XLA (3.44 vs 3.10 ms — XLA never
+    materializes LAB either, and the whole chain is VPU-transcendental-
+    bound; see docs/benchmarks.md "Reinhard floor"), so the product
+    default stays the XLA path and the kernels remain the measured
+    alternative.
     """
     original_dtype = images.dtype
     was_uint8 = original_dtype == jnp.uint8
 
-    images_float = color.normalize_to_float(images)
-    lab = color.rgb_to_lab(images_float, channel_axis=1)
-    lab_mean = jnp.mean(lab, axis=(0, 2, 3), keepdims=True)
-    lab_std = jnp.std(lab, axis=(0, 2, 3), ddof=1, keepdims=True)
-
     if use_pallas and images.dtype in (jnp.uint8, jnp.float32):
         # Other float dtypes (bf16/f16/f64) stay on the XLA path: the
         # kernel stores f32 into an out_ref of the input dtype.
-        from stainx_tpu.kernels.reinhard_fused import reinhard_apply_pallas
+        from stainx_tpu.kernels.reinhard_fused import (
+            reinhard_apply_pallas,
+            reinhard_moments_pallas,
+        )
 
+        s1, s2 = reinhard_moments_pallas(images)
+        n_px = jnp.float32(images.shape[0] * images.shape[2] * images.shape[3])
+        lab_mean, lab_std = moments_to_mean_std(n_px, s1, s2)
         return reinhard_apply_pallas(
             images,
             lab_mean.reshape(3),
@@ -119,6 +126,11 @@ def reinhard_transform(
             reference_mean.reshape(3),
             reference_std.reshape(3),
         )
+
+    images_float = color.normalize_to_float(images)
+    lab = color.rgb_to_lab(images_float, channel_axis=1)
+    lab_mean = jnp.mean(lab, axis=(0, 2, 3), keepdims=True)
+    lab_std = jnp.std(lab, axis=(0, 2, 3), ddof=1, keepdims=True)
 
     rgb = _reinhard_apply(
         lab,

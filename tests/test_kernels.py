@@ -560,6 +560,43 @@ class TestReinhardFusedKernel:
             out_x.astype(np.float32), out_p.astype(np.float32), atol=1.0 if dtype == "uint8" else 1 / 255
         )
 
+    @pytest.mark.parametrize("dtype", ["uint8", "float32"])
+    @pytest.mark.parametrize("hw", [(24, 24), (33, 31)])
+    def test_moments_matches_lab_moments_twin(self, dtype, hw):
+        """Batch-global centered LAB moments from raw bytes must match the
+        jnp twin (ops.reinhard.lab_moments) — including the zero-pad
+        correction (both sizes need padding to the 1024-px block; 33×31
+        exercises a non-square odd remainder)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.reinhard_fused import reinhard_moments_pallas
+        from stainx_tpu.ops import reinhard as rh
+
+        h, w = hw
+        rng = np.random.default_rng(2)
+        if dtype == "uint8":
+            imgs = rng.integers(0, 256, (3, 3, h, w), np.uint8)
+        else:
+            imgs = rng.random((3, 3, h, w), dtype=np.float32)
+        s1, s2 = reinhard_moments_pallas(jnp.asarray(imgs), interpret=True)
+        n_r, s1_r, s2_r = rh.lab_moments(jnp.asarray(imgs))
+        assert float(n_r) == 3 * h * w
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s1_r), rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s2_r), rtol=1e-4, atol=1e-2)
+        # End to end: the two-kernel pallas transform tracks the XLA path.
+        mean, std = rh.moments_to_mean_std(n_r, s1_r, s2_r)
+        out_x = np.asarray(
+            rh.reinhard_transform(jnp.asarray(imgs), mean, std, use_pallas=False)
+        )
+        out_p = np.asarray(
+            rh.reinhard_transform(jnp.asarray(imgs), mean, std, use_pallas=True)
+        )
+        np.testing.assert_allclose(
+            out_x.astype(np.float32),
+            out_p.astype(np.float32),
+            atol=1.0 if dtype == "uint8" else 1 / 255,
+        )
+
 
 class TestMomentsKernel:
     @pytest.mark.parametrize("dtype", ["uint8", "float32"])
