@@ -163,6 +163,135 @@ def macenko_fit_sharded(images, axis_name, percentile_levels: int = 0, weights=N
     return he[0], max_conc
 
 
+def macenko_transform_sharded(
+    images,
+    stain_matrix,
+    target_max_conc,
+    axis_name,
+    precision: str = "stable",
+    valid=None,
+):
+    """Pixel-sharded Macenko transform: per-image statistics over an image
+    whose PIXELS are sharded across the mesh.
+
+    The single-chip streaming tier caps a row at one chip's HBM (~1.1 G px
+    uint8 on 16 GB — ``kernels/macenko_stream.py``); this is the cross-chip
+    continuation: each chip holds a horizontal slab, per-image statistics
+    reduce with O(N·256)-sized collectives (10-scalar masked OD moments +
+    the 4-round key-space percentile of :mod:`..parallel.percentile`), and
+    the reconstruction is local. Same semantics as
+    :func:`stainx_tpu.ops.macenko.macenko_transform` (β-mask with the
+    <3-pixel all-pixels fallback, nearest-rank percentiles, 2×2 normal
+    equations, sign-preserving maxC guard, no Io cap —
+    ``torch_backend.py:399-461,521-560``).
+
+    ``axis_name`` covers ONLY the mesh axes the pixels of each image are
+    sharded over — a batch axis shards *different* images and must not be
+    reduced here. ``valid`` ((N, H_local, W) or (N, P_local) bool,
+    optional) marks real pixels when the pixel axis was padded.
+    """
+    original_dtype = images.dtype
+    was_uint8 = original_dtype == jnp.uint8
+    images_float = color.normalize_to_float(images)
+    n, c, h, w = images_float.shape
+    p_local = h * w
+
+    od = macenko_ops.optical_density(images_float).reshape(n, 3, p_local)
+    od_c = (od[:, 0], od[:, 1], od[:, 2])
+    if valid is not None:
+        valid = valid.reshape(n, p_local)
+
+    od_min = jnp.minimum(jnp.minimum(od_c[0], od_c[1]), od_c[2])
+    mask = od_min >= macenko_ops.BETA
+    all_mask = jnp.ones_like(mask) if valid is None else valid
+    mask = mask & all_mask
+
+    # TWO-PASS covariance (mean psum round, then centered-moment psum
+    # round), matching the single-chip ``_masked_cov_two_pass``: the
+    # one-pass centered-moments form leaves ~1e-6 f32 residue on a
+    # UNIFORM (background) tile, which the analytic eigh resolves into a
+    # real eigenbasis where the single-chip path's ~1e-17 degenerates to
+    # zero eigenvectors — a wildly different (wrong-parity) output on a
+    # tile class WSIs hit routinely. The <3-pixel fallback is decided on
+    # the GLOBAL count (a local shard may hold 0 surviving pixels of an
+    # image that globally has plenty).
+    w_m = mask.astype(jnp.float32)
+    w_a = all_mask.astype(jnp.float32)
+    cnt = jax.lax.psum(jnp.sum(w_m, axis=-1), axis_name)  # (N,)
+    cnt_a = jax.lax.psum(jnp.sum(w_a, axis=-1), axis_name)
+    s1 = jax.lax.psum(
+        jnp.stack([jnp.sum(w_m * od_c[i], axis=-1) for i in range(3)], -1), axis_name
+    )  # (N, 3)
+    s1_a = jax.lax.psum(
+        jnp.stack([jnp.sum(w_a * od_c[i], axis=-1) for i in range(3)], -1), axis_name
+    )
+    use_all = cnt < 3
+    cnt_eff = jnp.where(use_all, cnt_a, cnt)
+    mu = jnp.where(use_all[:, None], s1_a, s1) / jnp.maximum(cnt_eff, 1.0)[:, None]
+    eff_mask = (mask | use_all[:, None]) & all_mask
+    w_eff = eff_mask.astype(jnp.float32)
+    centered = [od_c[i] - mu[:, i, None] for i in range(3)]
+    s2c = jax.lax.psum(
+        jnp.stack(
+            [
+                jnp.stack(
+                    [jnp.sum(w_eff * centered[i] * centered[j], axis=-1) for j in range(3)],
+                    -1,
+                )
+                for i in range(3)
+            ],
+            -2,
+        ),
+        axis_name,
+    )  # (N, 3, 3)
+    cov = jnp.where(
+        (cnt_eff > 1.0)[:, None, None],
+        s2c / jnp.maximum(cnt_eff - 1.0, 1.0)[:, None, None],
+        0.0,
+    )
+    evecs = eigh3_top2(cov)  # (N, 3, 2), replicated across pixel shards
+
+    t0, t1 = macenko_ops._project_plane(od_c, evecs, jnp.float32)
+    phi = jnp.arctan2(t1, t0)  # (N, P_local)
+
+    # Both φ percentiles of every image in ONE 2N-row multi-rank chain:
+    # each of the 4 levels costs a single (2N, 256) psum round.
+    phi2 = jnp.repeat(phi, 2, axis=0)
+    eff2 = jnp.repeat(eff_mask, 2, axis=0)
+    qs = (macenko_ops.ALPHA, 100 - macenko_ops.ALPHA) * n
+    phi_pair = distributed_masked_percentile(phi2, eff2, qs, axis_name)
+    min_phi, max_phi = phi_pair[0::2], phi_pair[1::2]
+
+    he = macenko_ops._he_from_phi_extremes(evecs, min_phi, max_phi)  # (N, 3, 2)
+    c0, c1 = macenko_ops._concentrations_2x2(he, od_c)  # (N, P_local)
+
+    # 99th percentile of each concentration over ALL (valid) pixels
+    # (``macenko.cu:247-251`` ranks over cnt_all = P).
+    c_stack = jnp.concatenate([c0, c1], axis=0)
+    all2 = jnp.concatenate([all_mask, all_mask], axis=0)
+    max_c = distributed_masked_percentile(c_stack, all2, (99,) * (2 * n), axis_name)
+    max_c0, max_c1 = max_c[:n], max_c[n:]
+
+    # Sign-preserving maxC guard (see ops/macenko.py — round-2 advisor).
+    safe_c0 = jnp.where(jnp.abs(max_c0) > 1e-30, max_c0, 1e-30)
+    safe_c1 = jnp.where(jnp.abs(max_c1) > 1e-30, max_c1, 1e-30)
+    tmc = target_max_conc.reshape(-1).astype(jnp.float32)
+    recon_dtype = jnp.bfloat16 if precision == "fast" else jnp.float32
+    cn0 = (c0 * (tmc[0] / safe_c0)[:, None]).astype(recon_dtype)
+    cn1 = (c1 * (tmc[1] / safe_c1)[:, None]).astype(recon_dtype)
+
+    stain = stain_matrix.astype(jnp.float32)
+    recon = [
+        (
+            cn0 * stain[i, 0].astype(recon_dtype) + cn1 * stain[i, 1].astype(recon_dtype)
+        ).astype(jnp.float32)
+        for i in range(3)
+    ]
+    od_recon = jnp.stack(recon, axis=1)  # (N, 3, P_local)
+    rgb = jnp.clip(macenko_ops.IO * jnp.exp(-od_recon), 0.0, 255.0).reshape(n, c, h, w)
+    return color.preserve_dtype(rgb, original_dtype, was_uint8, result_in_0_255_range=True)
+
+
 # ------------------------------------------------------- mesh-level wrappers
 #
 # The jitted shard_map callables are built ONCE per (method, mesh,
@@ -187,18 +316,26 @@ _FIT_SHARDED = {
 
 
 @lru_cache(maxsize=None)
-def _fit_runner(method: str, mesh: Mesh, batch_axis: str, weighted: bool = False):
+def _fit_runner(
+    method: str,
+    mesh: Mesh,
+    batch_axis: str,
+    weighted: bool = False,
+    pixel_axis: str | None = None,
+):
     fit_fn = _FIT_SHARDED[method]
-    batch_spec = PartitionSpec(batch_axis)
+    axis = (batch_axis, pixel_axis) if pixel_axis else batch_axis
+    img_spec = PartitionSpec(batch_axis, None, pixel_axis)  # pixel_axis=None ⇒ batch-only
+    w_spec = PartitionSpec(batch_axis)
 
     if weighted:
 
         @jax.jit
         def run(imgs, w):
             return jax.shard_map(
-                lambda im, wl: fit_fn(im, batch_axis, weights=wl),
+                lambda im, wl: fit_fn(im, axis, weights=wl),
                 mesh=mesh,
-                in_specs=(batch_spec, batch_spec),
+                in_specs=(img_spec, w_spec),
                 out_specs=PartitionSpec(),
                 check_vma=False,
             )(imgs, w)
@@ -208,9 +345,9 @@ def _fit_runner(method: str, mesh: Mesh, batch_axis: str, weighted: bool = False
     @jax.jit
     def run(imgs):
         return jax.shard_map(
-            lambda im: fit_fn(im, batch_axis),
+            lambda im: fit_fn(im, axis),
             mesh=mesh,
-            in_specs=batch_spec,
+            in_specs=img_spec,
             out_specs=PartitionSpec(),
             check_vma=False,
         )(imgs)
@@ -225,6 +362,28 @@ def _axis_size(mesh: Mesh, batch_axis: str) -> int:
             f"(mesh axes: {tuple(mesh.shape)})."
         )
     return mesh.shape[batch_axis]
+
+
+def _check_pixel_axis(mesh: Mesh, pixel_axis: str | None, batch_axis: str, h: int) -> None:
+    if pixel_axis is None:
+        return
+    if pixel_axis not in mesh.shape:
+        raise ValueError(
+            f"pixel_axis '{pixel_axis}' is not an axis of the mesh "
+            f"(mesh axes: {tuple(mesh.shape)})."
+        )
+    if pixel_axis == batch_axis:
+        raise ValueError(
+            f"pixel_axis must differ from batch_axis (both '{batch_axis}'): a batch "
+            "axis shards different images; a pixel axis shards each image's rows."
+        )
+    px = mesh.shape[pixel_axis]
+    if h % px:
+        raise ValueError(
+            f"image height {h} does not divide the '{pixel_axis}' mesh axis ({px} "
+            f"shards). Pad H to a multiple of {px} (pixel rows are not auto-padded "
+            "— padded pixels would enter per-image statistics)."
+        )
 
 
 def _pad_to_axis(images, axis_size: int):
@@ -243,22 +402,32 @@ def _pad_to_axis(images, axis_size: int):
     return jnp.concatenate([images, pad], axis=0), weights, n
 
 
-def fit_on_mesh(method: str, images, mesh: Mesh, batch_axis: str = "batch"):
+def fit_on_mesh(
+    method: str,
+    images,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+    pixel_axis: str | None = None,
+):
     """Jit + shard_map a distributed fit over ``mesh`` with N sharded on
     ``batch_axis``; any batch size is accepted (uneven N is zero-padded and
-    excluded from the statistics via a sharded weights vector). Returns
-    replicated fitted parameters (a tuple for reinhard/macenko, a (C, 256)
-    array for histogram_matching)."""
+    excluded from the statistics via a sharded weights vector). With
+    ``pixel_axis`` each image's rows are additionally sharded over that
+    mesh axis (H must divide it) and the statistics reduce over both axes.
+    Returns replicated fitted parameters (a tuple for reinhard/macenko, a
+    (C, 256) array for histogram_matching)."""
     if method not in _FIT_SHARDED:
         raise ValueError(f"Unknown method '{method}'. Choose from {sorted(_FIT_SHARDED)}")
     images = jnp.asarray(images)
+    _check_pixel_axis(mesh, pixel_axis, batch_axis, images.shape[2])
     padded, weights, _ = _pad_to_axis(images, _axis_size(mesh, batch_axis))
-    spec = NamedSharding(mesh, PartitionSpec(batch_axis))
+    spec = NamedSharding(mesh, PartitionSpec(batch_axis, None, pixel_axis))
+    w_spec = NamedSharding(mesh, PartitionSpec(batch_axis))
     sharded = jax.device_put(padded, spec)
     if weights is None:
-        return _fit_runner(method, mesh, batch_axis)(sharded)
-    return _fit_runner(method, mesh, batch_axis, weighted=True)(
-        sharded, jax.device_put(weights, spec)
+        return _fit_runner(method, mesh, batch_axis, pixel_axis=pixel_axis)(sharded)
+    return _fit_runner(method, mesh, batch_axis, weighted=True, pixel_axis=pixel_axis)(
+        sharded, jax.device_put(weights, w_spec)
     )
 
 
@@ -270,9 +439,15 @@ def _transform_runner(
     precision: str = "stable",
     use_pallas: bool = False,
     weighted: bool = False,
+    pixel_axis: str | None = None,
 ):
-    batch_spec = PartitionSpec(batch_axis)
+    img_spec = PartitionSpec(batch_axis, None, pixel_axis)  # pixel_axis=None ⇒ batch-only
+    w_spec = PartitionSpec(batch_axis)
     repl = PartitionSpec()
+    # Batch-GLOBAL statistics (reinhard/HM) reduce over every axis the data
+    # is sharded on; macenko's statistics are per-IMAGE, so they reduce over
+    # the pixel axis only — the batch axis holds different images.
+    stat_axis = (batch_axis, pixel_axis) if pixel_axis else batch_axis
 
     if method == "reinhard":
         if weighted:
@@ -281,11 +456,12 @@ def _transform_runner(
             def run(imgs, w, mean, std):
                 return jax.shard_map(
                     lambda im, wl, m, s: reinhard_transform_sharded(
-                        im, m, s, batch_axis, weights=wl
+                        im, m, s, stat_axis, weights=wl
                     ),
                     mesh=mesh,
-                    in_specs=(batch_spec, batch_spec, repl, repl),
-                    out_specs=batch_spec,
+                    in_specs=(img_spec, w_spec, repl, repl),
+                    out_specs=img_spec,
+                    check_vma=False,
                 )(imgs, w, mean, std)
 
             return run
@@ -293,15 +469,33 @@ def _transform_runner(
         @jax.jit
         def run(imgs, mean, std):
             return jax.shard_map(
-                lambda im, m, s: reinhard_transform_sharded(im, m, s, batch_axis),
+                lambda im, m, s: reinhard_transform_sharded(im, m, s, stat_axis),
                 mesh=mesh,
-                in_specs=(batch_spec, repl, repl),
-                out_specs=batch_spec,
+                in_specs=(img_spec, repl, repl),
+                out_specs=img_spec,
+                check_vma=False,
             )(imgs, mean, std)
 
         return run
 
     if method == "macenko":
+        if pixel_axis:
+            # Per-image statistics psum over the pixel shards
+            # (macenko_transform_sharded); reconstruction is local.
+            @jax.jit
+            def run(imgs, he, tmc):
+                return jax.shard_map(
+                    lambda im, h, t: macenko_transform_sharded(
+                        im, h, t, pixel_axis, precision=precision
+                    ),
+                    mesh=mesh,
+                    in_specs=(img_spec, repl, repl),
+                    out_specs=img_spec,
+                    check_vma=False,
+                )(imgs, he, tmc)
+
+            return run
+
         # shard_map (not bare GSPMD propagation): Pallas kernels are not
         # auto-partitionable, so each shard runs the full local transform —
         # which needs zero communication (per-image op). Padded rows need no
@@ -314,8 +508,8 @@ def _transform_runner(
                     im, h, t, precision=precision, use_pallas=use_pallas
                 ),
                 mesh=mesh,
-                in_specs=(batch_spec, repl, repl),
-                out_specs=batch_spec,
+                in_specs=(img_spec, repl, repl),
+                out_specs=img_spec,
                 check_vma=False,  # selection while-loop carries defeat VMA inference
             )(imgs, he, tmc)
 
@@ -323,16 +517,17 @@ def _transform_runner(
 
     if method == "histogram_matching":
         # Batch-global source CDFs: each shard psums its source histogram
-        # over ``batch_axis`` (hm_transform_sharded) for exact batch parity.
+        # over ``stat_axis`` (hm_transform_sharded) for exact batch parity.
         if weighted:
 
             @jax.jit
             def run(imgs, w, hists):
                 return jax.shard_map(
-                    lambda im, wl, hs: hm_transform_sharded(im, hs, batch_axis, weights=wl),
+                    lambda im, wl, hs: hm_transform_sharded(im, hs, stat_axis, weights=wl),
                     mesh=mesh,
-                    in_specs=(batch_spec, batch_spec, repl),
-                    out_specs=batch_spec,
+                    in_specs=(img_spec, w_spec, repl),
+                    out_specs=img_spec,
+                    check_vma=False,
                 )(imgs, w, hists)
 
             return run
@@ -340,10 +535,11 @@ def _transform_runner(
         @jax.jit
         def run(imgs, hists):
             return jax.shard_map(
-                lambda im, hs: hm_transform_sharded(im, hs, batch_axis),
+                lambda im, hs: hm_transform_sharded(im, hs, stat_axis),
                 mesh=mesh,
-                in_specs=(batch_spec, repl),
-                out_specs=batch_spec,
+                in_specs=(img_spec, repl),
+                out_specs=img_spec,
+                check_vma=False,
             )(imgs, hists)
 
         return run
@@ -351,17 +547,33 @@ def _transform_runner(
     raise ValueError(f"Unknown method '{method}'")
 
 
-def transform_on_mesh(method: str, images, params, mesh: Mesh, batch_axis: str = "batch", **kwargs):
+def transform_on_mesh(
+    method: str,
+    images,
+    params,
+    mesh: Mesh,
+    batch_axis: str = "batch",
+    pixel_axis: str | None = None,
+    **kwargs,
+):
     """Batch-parallel transform: shard N over ``batch_axis``; Macenko/HM need
     zero communication (per-image ops), Reinhard psums its batch-global
     source statistics. Any batch size is accepted — uneven N (including a
     single image) is zero-padded to the mesh axis, excluded from the
-    batch-global statistics, and sliced off the output."""
+    batch-global statistics, and sliced off the output.
+
+    With ``pixel_axis`` each image's rows are additionally sharded over that
+    mesh axis (H must divide it) — for images too large for one chip.
+    Reinhard/HM statistics then psum over both axes; Macenko routes to
+    :func:`macenko_transform_sharded` (per-image statistics psum over the
+    pixel shards only)."""
     if method not in _FIT_SHARDED:
         raise ValueError(f"Unknown method '{method}'. Choose from {sorted(_FIT_SHARDED)}")
     images = jnp.asarray(images)
+    _check_pixel_axis(mesh, pixel_axis, batch_axis, images.shape[2])
     padded, weights, n = _pad_to_axis(images, _axis_size(mesh, batch_axis))
-    spec = NamedSharding(mesh, PartitionSpec(batch_axis))
+    spec = NamedSharding(mesh, PartitionSpec(batch_axis, None, pixel_axis))
+    w_sharding = NamedSharding(mesh, PartitionSpec(batch_axis))
     sharded = jax.device_put(padded, spec)
     # Macenko is per-image: padded rows can't contaminate real outputs.
     weighted = weights is not None and method != "macenko"
@@ -372,8 +584,9 @@ def transform_on_mesh(method: str, images, params, mesh: Mesh, batch_axis: str =
         kwargs.get("precision", "stable"),
         kwargs.get("use_pallas", False),
         weighted,
+        pixel_axis,
     )
-    w_args = (jax.device_put(weights, spec),) if weighted else ()
+    w_args = (jax.device_put(weights, w_sharding),) if weighted else ()
     replicated = NamedSharding(mesh, PartitionSpec())
     if method in ("reinhard", "macenko"):
         p0, p1 = (jax.device_put(jnp.asarray(p), replicated) for p in params)

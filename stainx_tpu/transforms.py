@@ -55,18 +55,24 @@ class StainNormalizerTransform:
         normalize_to_0_1: bool | None = None,
         normalizer: Any | None = None,
         mesh: Any | None = None,
+        pixel_axis: str | None = None,
     ):
         """``mesh``: optional ``jax.sharding.Mesh``. When set, batches are
         sharded over the mesh's first axis, transforms run batch-parallel,
         and batch-mode fits reduce their statistics across all chips
         (exact psum'd moments/histograms — no reference-era equivalent;
-        SURVEY §2.3)."""
+        SURVEY §2.3). ``pixel_axis``: optional mesh axis name to ALSO shard
+        each image's rows over (for images beyond one chip; H must divide
+        the axis — see :func:`stainx_tpu.parallel.transform_on_mesh`)."""
         from stainx_tpu.utils import get_device
 
         self.mode = mode
         self.channel_axis = channel_axis
         self.batch_ref_index = batch_ref_index
         self.mesh = mesh
+        if pixel_axis is not None and mesh is None:
+            raise ValueError("pixel_axis requires mesh= (a jax.sharding.Mesh).")
+        self.pixel_axis = pixel_axis
         # None = follow input device each call (transforms.py:89-90). An
         # explicit backend= is honored across device syncs by the inner
         # normalizer itself (NormalizerTemplate.to_device).
@@ -267,7 +273,9 @@ class StainNormalizerTransform:
 
         if self.mode == "batch":
             if self.batch_ref_index is None:
-                params = parallel.fit_on_mesh(method, img, self.mesh)
+                params = parallel.fit_on_mesh(
+                    method, img, self.mesh, pixel_axis=self.pixel_axis
+                )
             else:
                 idx = self.batch_ref_index
                 if idx < 0 or idx >= img.shape[0]:
@@ -286,7 +294,9 @@ class StainNormalizerTransform:
             # numerics must not depend on whether a mesh is attached.
             kwargs["precision"] = getattr(self.normalizer, "precision", "stable")
             kwargs["use_pallas"] = self.normalizer.backend == "pallas"
-        result = parallel.transform_on_mesh(method, img, params, self.mesh, **kwargs)
+        result = parallel.transform_on_mesh(
+            method, img, params, self.mesh, pixel_axis=self.pixel_axis, **kwargs
+        )
         if getattr(self.normalizer, "normalize_to_0_1", False):
             result = result / 255.0
         return result

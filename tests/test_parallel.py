@@ -344,3 +344,147 @@ def test_2d_mesh_fit(he_batch):
     he_s, mc_s = macenko_ops.macenko_fit(jnp.asarray(he_batch))
     np.testing.assert_allclose(np.asarray(he_d), np.asarray(he_s), atol=2e-3)
     np.testing.assert_allclose(np.asarray(mc_d), np.asarray(mc_s), rtol=1e-2)
+
+
+class TestPixelSharded:
+    """Pixel-axis sharding: images whose rows are split across chips — the
+    cross-chip continuation of the streaming tier's per-chip HBM cap. The
+    reference has no analogue (single-device only); the contract is
+    parity with the single-device transforms."""
+
+    @pytest.fixture(scope="class")
+    def mesh2d(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        return parallel.make_mesh(shape=(4, 2), axis_names=("batch", "pixel"))
+
+    @pytest.fixture(scope="class")
+    def mesh_px8(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        return parallel.make_mesh(shape=(1, 8), axis_names=("batch", "pixel"))
+
+    def test_macenko_single_image_8way_pixel_shards(self, mesh_px8, he_batch):
+        """One image split into 8 row slabs: per-image statistics psum over
+        the pixel axis only."""
+        one = he_batch[:1]  # H=32 → 4-row slabs
+        params = macenko_ops.macenko_fit(jnp.asarray(he_batch[1:2]))
+        out = parallel.transform_on_mesh(
+            "macenko", one, params, mesh_px8, pixel_axis="pixel"
+        )
+        single = macenko_ops.macenko_transform(jnp.asarray(one), *params)
+        assert out.shape == one.shape
+        np.testing.assert_allclose(
+            np.asarray(out).astype(np.float32),
+            np.asarray(single).astype(np.float32),
+            atol=1.0,
+        )
+
+    def test_macenko_batch_and_pixel_sharded(self, mesh2d, he_batch):
+        """batch×pixel 2D mesh: different images on the batch axis must NOT
+        enter each other's per-image statistics."""
+        params = macenko_ops.macenko_fit(jnp.asarray(he_batch[:1]))
+        out = parallel.transform_on_mesh(
+            "macenko", he_batch, params, mesh2d, pixel_axis="pixel"
+        )
+        single = macenko_ops.macenko_transform(jnp.asarray(he_batch), *params)
+        np.testing.assert_allclose(
+            np.asarray(out).astype(np.float32),
+            np.asarray(single).astype(np.float32),
+            atol=1.0,
+        )
+
+    def test_reinhard_hm_pixel_sharded(self, mesh2d, he_batch):
+        """Batch-global statistics (Reinhard LAB moments, HM source
+        histograms) reduce over BOTH axes under pixel sharding."""
+        p_r = reinhard_ops.reinhard_fit(jnp.asarray(he_batch[:1]))
+        out = parallel.transform_on_mesh(
+            "reinhard", he_batch, p_r, mesh2d, pixel_axis="pixel"
+        )
+        single = reinhard_ops.reinhard_transform(jnp.asarray(he_batch), *p_r)
+        np.testing.assert_allclose(
+            np.asarray(out).astype(np.float32),
+            np.asarray(single).astype(np.float32),
+            atol=1.0,
+        )
+
+        p_h = hm_ops.hm_fit(jnp.asarray(he_batch[:1]))
+        out = parallel.transform_on_mesh(
+            "histogram_matching", he_batch, p_h, mesh2d, pixel_axis="pixel"
+        )
+        single = hm_ops.hm_transform(jnp.asarray(he_batch), p_h)
+        np.testing.assert_allclose(
+            np.asarray(out).astype(np.float32),
+            np.asarray(single).astype(np.float32),
+            atol=1.0,
+        )
+
+    def test_fit_pixel_sharded_matches_single_device(self, mesh2d, he_batch):
+        he_d, mc_d = parallel.fit_on_mesh("macenko", he_batch, mesh2d, pixel_axis="pixel")
+        he_s, mc_s = macenko_ops.macenko_fit(jnp.asarray(he_batch))
+        np.testing.assert_allclose(np.asarray(he_d), np.asarray(he_s), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(mc_d), np.asarray(mc_s), rtol=1e-2)
+
+    def test_uneven_batch_with_pixel_sharding(self, mesh2d, he_batch):
+        """Pad+mask on the batch axis composes with pixel sharding."""
+        batch = he_batch[:3]  # 3 % 4 != 0
+        p_r = reinhard_ops.reinhard_fit(jnp.asarray(he_batch[:1]))
+        out = parallel.transform_on_mesh(
+            "reinhard", batch, p_r, mesh2d, pixel_axis="pixel"
+        )
+        single = reinhard_ops.reinhard_transform(jnp.asarray(batch), *p_r)
+        assert out.shape == batch.shape
+        np.testing.assert_allclose(
+            np.asarray(out).astype(np.float32),
+            np.asarray(single).astype(np.float32),
+            atol=1.0,
+        )
+
+    def test_macenko_background_fallback_pixel_sharded(self, mesh_px8):
+        """A near-white tile (zero β-surviving pixels) takes the <3-pixel
+        all-pixels fallback, decided on the GLOBAL count — a local shard
+        seeing 0 surviving pixels of a globally well-posed image must not
+        flip its own fallback."""
+        one = np.full((1, 3, 32, 32), 250, np.uint8)
+        params = (
+            jnp.asarray(
+                [[0.5626, 0.2159], [0.7201, 0.8012], [0.4062, 0.5581]], jnp.float32
+            ),
+            jnp.asarray([1.9705, 1.0308], jnp.float32),
+        )
+        out = parallel.transform_on_mesh(
+            "macenko", one, params, mesh_px8, pixel_axis="pixel"
+        )
+        single = macenko_ops.macenko_transform(jnp.asarray(one), *params)
+        np.testing.assert_allclose(
+            np.asarray(out).astype(np.float32),
+            np.asarray(single).astype(np.float32),
+            atol=1.0,
+        )
+
+    def test_pixel_axis_validation_errors(self, mesh2d, he_batch):
+        with pytest.raises(ValueError, match="not an axis of the mesh"):
+            parallel.transform_on_mesh(
+                "macenko",
+                he_batch,
+                (jnp.zeros((3, 2)), jnp.ones(2)),
+                mesh2d,
+                pixel_axis="nope",
+            )
+        odd_h = he_batch[:, :, :31, :]  # 31 % 2 != 0
+        with pytest.raises(ValueError, match="does not divide"):
+            parallel.transform_on_mesh(
+                "macenko",
+                odd_h,
+                (jnp.zeros((3, 2)), jnp.ones(2)),
+                mesh2d,
+                pixel_axis="pixel",
+            )
+        with pytest.raises(ValueError, match="must differ from batch_axis"):
+            parallel.transform_on_mesh(
+                "macenko",
+                he_batch,
+                (jnp.zeros((3, 2)), jnp.ones(2)),
+                mesh2d,
+                pixel_axis="batch",
+            )

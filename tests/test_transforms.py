@@ -247,3 +247,50 @@ class TestBackendStickiness:
         assert norm._requested_backend is None
         norm.to_device("cpu")  # auto path re-runs selection (cpu → xla)
         assert norm.backend == "xla"
+
+
+class TestMeshPixelAxis:
+    """L5 pixel-axis sharding: StainNormalizerTransform(pixel_axis=...)."""
+
+    @pytest.fixture
+    def mesh2d(self):
+        import jax
+
+        from stainx_tpu import parallel
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 (virtual) devices")
+        return parallel.make_mesh(shape=(4, 2), axis_names=("batch", "pixel"))
+
+    @pytest.fixture
+    def big_batch(self):
+        tiles = [oracle.synthetic_he_tile(32, 32, seed=s, he_scale=1.1) for s in range(8)]
+        return np.concatenate(tiles, axis=0)
+
+    def test_reference_mode_pixel_sharded_matches_single_device(
+        self, mesh2d, he_ref, big_batch
+    ):
+        t_mesh = StainNormalizerTransform(
+            method="macenko", reference=he_ref, mesh=mesh2d, pixel_axis="pixel", device="cpu"
+        )
+        t_single = StainNormalizerTransform(method="macenko", reference=he_ref, device="cpu")
+        out_m = np.asarray(t_mesh(big_batch)).astype(np.float32)
+        out_s = np.asarray(t_single(big_batch)).astype(np.float32)
+        np.testing.assert_allclose(out_m, out_s, atol=1.0 / 255.0)  # n01 outputs
+
+    def test_batch_mode_whole_batch_pixel_sharded_fit(self, mesh2d, big_batch):
+        t = StainNormalizerTransform(
+            method="macenko",
+            mode="batch",
+            batch_ref_index=None,
+            mesh=mesh2d,
+            pixel_axis="pixel",
+            device="cpu",
+        )
+        out = np.asarray(t(big_batch))
+        assert out.shape == big_batch.shape
+        assert np.isfinite(out.astype(np.float32)).all()
+
+    def test_pixel_axis_without_mesh_raises(self, he_ref):
+        with pytest.raises(ValueError, match="pixel_axis requires mesh"):
+            StainNormalizerTransform(method="macenko", reference=he_ref, pixel_axis="pixel")
