@@ -189,6 +189,19 @@ STREAM_MIN_ELEMS = 2_097_152
 # 4096² (same MAE; bit-exact vs the uncached form).
 STREAM_MEGA_ENABLED = True
 
+# Tiny-row / large-batch escape hatch at the ladder's BOTTOM end: the mega
+# kernel runs one image per grid step, so at tiny rows its per-image fixed
+# cost (~7.7 µs at 64² — descent syncs + scalar eigh + pass setup)
+# dominates, while the jnp path is batch-parallel across the whole XLA
+# program. Measured on v5e uint8 (MPix/s, pallas vs jnp): 256×64²
+# 504 vs 814–1273, 128×64² 358 vs 646, 1024×64² 518 vs 1098 — jnp wins
+# every ≥128-batch 64² measurement; at 32–64 batch the pallas path wins
+# (241 vs 183, 210 vs 111), and at ≥72² results flip around (jnp timings
+# at 72²–80² swing 297–1462 between processes; pallas is stable) — so the
+# route triggers only on the proven cell: rows ≤ 64² AND batch ≥ 128.
+TINY_JNP_MAX_ELEMS = 4096
+TINY_JNP_MIN_BATCH = 128
+
 
 def _select_route(p: int, use_pallas: bool) -> str:
     if not use_pallas:
@@ -285,6 +298,11 @@ def macenko_transform(
     masked scheme. Output range [0, 255] in the input dtype (no Io cap —
     torchstain parity, ``docs/changelog.md:61``).
     """
+    n_imgs, _, h_img, w_img = images.shape
+    if n_imgs >= TINY_JNP_MIN_BATCH and h_img * w_img <= TINY_JNP_MAX_ELEMS:
+        # Tiny rows at large batch: the batch-parallel jnp path beats the
+        # per-image mega-kernel grid (see TINY_JNP_* above).
+        use_pallas = False
     if use_pallas:
         from stainx_tpu.kernels.macenko_fused import fused_row_budget_ok
 

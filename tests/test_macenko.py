@@ -396,3 +396,32 @@ def test_nearest_rank_index_no_int32_overflow():
         assert got == round(0.99 * (n - 1)), n
         got1 = int(pct.nearest_rank_index(1, jnp.asarray([n]))[0])
         assert got1 == round(0.01 * (n - 1)), n
+
+
+class TestTinyRowRoute:
+    """Rows ≤ 64² at batch ≥ 128 route to the batch-parallel jnp path even
+    under use_pallas=True (the mega kernel's one-image-per-grid-step fixed
+    cost dominates tiny rows — measured 1.3–2.5× slower on v5e). The route
+    must preserve the oracle contract and output dtype/shape."""
+
+    def test_tiny_large_batch_matches_oracle(self):
+        from stainx_tpu.ops.macenko import macenko_fit, macenko_transform
+
+        ref = oracle.synthetic_he_tile(64, 64, seed=42)
+        batch = np.concatenate(
+            [oracle.synthetic_he_tile(64, 64, seed=s, he_scale=1.1) for s in range(8)]
+            * 16
+        )  # N=128
+        he, mc = macenko_fit(jnp.asarray(ref))
+        out = np.asarray(
+            macenko_transform(jnp.asarray(batch), he, mc, use_pallas=True)
+        ).astype(np.float32)
+        assert out.shape == batch.shape and out.dtype == np.float32
+        he_o, mc_o = oracle.macenko_fit(ref)
+        exp = oracle.macenko_transform(batch, he_o, mc_o).astype(np.float32)
+        assert np.abs(out - exp).mean() <= 0.35
+        # The route picked the jnp path: bit-identical to use_pallas=False.
+        alt = np.asarray(
+            macenko_transform(jnp.asarray(batch), he, mc, use_pallas=False)
+        ).astype(np.float32)
+        np.testing.assert_array_equal(out, alt)
