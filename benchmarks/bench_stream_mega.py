@@ -115,6 +115,13 @@ def main() -> None:
             )
     finally:
         mk.STREAM_MEGA_ENABLED = saved
+        # The flag is read at TRACE time: traces compiled while it was
+        # pinned stay in jit's cache past the restore, so an in-process
+        # caller would silently keep the ablated route (same failure mode
+        # descent_ablation.py clears for — round-2 advisor finding).
+        import jax
+
+        jax.clear_caches()
 
 
 if __name__ == "__main__":

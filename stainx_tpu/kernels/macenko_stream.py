@@ -67,7 +67,7 @@ from stainx_tpu.kernels.selection import _f32_from_ik_scalar, _ikey_view, _monot
 from stainx_tpu.kernels.selection_stream import (
     _I32MAX,
     _I32MIN,
-    _SENT_IK,
+    _NS,
     _cuts,
     _descend_step,
     _sweep_masks,
@@ -216,7 +216,9 @@ def _stream_mega_kernel(
     # and the field recompute is ~40% of a sweep's per-element work). The
     # cut/count/step sequence is IDENTICAL to the recompute form — cached
     # keys are the written values — so results are bit-exact either way.
-    _NS = 5  # klo, khi, below, at, done
+    # _NS (imported): scalars of while-carry per descent — the state width
+    # _descend_step produces; slicing with a local copy could silently
+    # desync if selection_stream ever grows the carry (review finding).
     _NA = _N_CUTS + 3  # accumulators per descent: counts + top + min + max
 
     def run_descents(field_fns, descents):

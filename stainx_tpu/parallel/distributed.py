@@ -380,8 +380,8 @@ def _check_pixel_axis(mesh: Mesh, pixel_axis: str | None, batch_axis: str, h: in
     px = mesh.shape[pixel_axis]
     if h % px:
         raise ValueError(
-            f"image height {h} does not divide the '{pixel_axis}' mesh axis ({px} "
-            f"shards). Pad H to a multiple of {px} (pixel rows are not auto-padded "
+            f"the '{pixel_axis}' mesh axis ({px} shards) does not divide image "
+            f"height {h}. Pad H to a multiple of {px} (pixel rows are not auto-padded "
             "— padded pixels would enter per-image statistics)."
         )
 
@@ -413,7 +413,7 @@ def fit_on_mesh(
     ``batch_axis``; any batch size is accepted (uneven N is zero-padded and
     excluded from the statistics via a sharded weights vector). With
     ``pixel_axis`` each image's rows are additionally sharded over that
-    mesh axis (H must divide it) and the statistics reduce over both axes.
+    mesh axis (its size must divide H) and the statistics reduce over both axes.
     Returns replicated fitted parameters (a tuple for reinhard/macenko, a
     (C, 256) array for histogram_matching)."""
     if method not in _FIT_SHARDED:
@@ -563,7 +563,7 @@ def transform_on_mesh(
     batch-global statistics, and sliced off the output.
 
     With ``pixel_axis`` each image's rows are additionally sharded over that
-    mesh axis (H must divide it) — for images too large for one chip.
+    mesh axis (its size must divide H) — for images too large for one chip.
     Reinhard/HM statistics then psum over both axes; Macenko routes to
     :func:`macenko_transform_sharded` (per-image statistics psum over the
     pixel shards only)."""

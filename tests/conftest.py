@@ -69,3 +69,20 @@ def uint8_image(rng):
 def float_batch(rng):
     """Seeded float32 [0, 1] NCHW batch (4, 3, 32, 32)."""
     return rng.random((4, 3, 32, 32), dtype=np.float32)
+
+
+@pytest.fixture
+def fresh_jit_cache():
+    """Clear jit trace caches before AND after a test that monkeypatches
+    routing globals (STREAM_MEGA_ENABLED / STREAM_MIN_ELEMS /
+    MAX_FUSED_PIXELS): the flags are read at TRACE time, so without the
+    clears a same-shape trace from another test — compiled under different
+    flags — is silently reused in place of the route under test, and the
+    patched traces would leak out after the flags are restored (round-3
+    review finding). The persistent compile cache is unaffected (retraces
+    hit compiled executables), so this costs retrace time only."""
+    import jax
+
+    jax.clear_caches()
+    yield
+    jax.clear_caches()

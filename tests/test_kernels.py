@@ -350,7 +350,7 @@ class TestStreamingMegaKernel:
         assert np.isfinite(out).all()
         assert (np.ptp(out.reshape(3, -1), axis=1) == 0.0).all()
 
-    def test_routing_above_stream_threshold(self, monkeypatch):
+    def test_routing_above_stream_threshold(self, monkeypatch, fresh_jit_cache):
         """macenko_transform routes EVERY uint8/f32 row past the resident
         mega's budget through the streaming kernel — no middle tier (the
         staged gap was raced away; see ops/macenko.py). Budget shrunk so

@@ -288,7 +288,7 @@ class TestStreamingSelectionRoute:
         assert macenko_ops._select_route(4096 * 4096, True) == "stream"
         assert macenko_ops._select_route(4096 * 4096, False) == "jnp"
 
-    def test_stream_route_matches_xla(self, monkeypatch):
+    def test_stream_route_matches_xla(self, monkeypatch, fresh_jit_cache):
         """Force the streaming route at a small size: fit + transform must
         match the xla path within the shared 1-grey quantization bound.
         MAX_FUSED_PIXELS is shrunk too — otherwise the resident mega kernel
@@ -320,7 +320,7 @@ class TestStreamingSelectionRoute:
             out_x.astype(np.float32), out_p.astype(np.float32), atol=1.0
         )
 
-    def test_stream_route_white_tile_finite(self, monkeypatch):
+    def test_stream_route_white_tile_finite(self, monkeypatch, fresh_jit_cache):
         """Empty β-mask through the streaming route: the <3-pixel fallback
         plus sentinel selection must stay finite. (MAX_FUSED_PIXELS shrunk
         so the resident mega kernel cannot short-circuit the route;
