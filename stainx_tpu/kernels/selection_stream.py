@@ -366,7 +366,7 @@ def kth_smallest_streaming(
 
 
 def kth_smallest_streaming_reference(
-    x: jnp.ndarray, ranks: jnp.ndarray, init=None, n_cuts: int = 16
+    x: jnp.ndarray, ranks: jnp.ndarray, init=None, n_cuts: int = 6
 ) -> jnp.ndarray:
     """jnp twin of :func:`kth_smallest_streaming` — the identical descent
     (same cuts, same scalar phases, full-row vector phase; chunked int

@@ -488,3 +488,52 @@ class TestPixelSharded:
                 mesh2d,
                 pixel_axis="batch",
             )
+
+    def test_macenko_valid_mask_excludes_padded_pixel_rows(self, mesh_px8, he_batch):
+        """The ``valid=`` argument of macenko_transform_sharded: an image
+        whose H was padded to divide the pixel axis must produce the same
+        statistics (and real-row outputs) as the unpadded single-device
+        transform — padded pixels enter neither the β-mask, the fallback
+        count, nor any percentile."""
+        import functools
+
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from stainx_tpu.parallel.distributed import macenko_transform_sharded
+
+        one = he_batch[:1]  # (1, 3, 32, 32)
+        params = macenko_ops.macenko_fit(jnp.asarray(he_batch[1:2]))
+        single = np.asarray(macenko_ops.macenko_transform(jnp.asarray(one), *params))
+
+        padded = np.concatenate(
+            [one, np.zeros((1, 3, 8, 32), one.dtype)], axis=2
+        )  # H 32 → 40 = 8 shards × 5 rows
+        valid = (np.arange(40) < 32)[None, :, None] & np.ones((1, 40, 32), bool)
+
+        spec = PartitionSpec(None, None, "pixel")
+        vspec = PartitionSpec(None, "pixel")
+        he_p, mc_p = (jnp.asarray(np.asarray(p)) for p in params)
+
+        @jax.jit
+        def run(imgs, v):
+            return jax.shard_map(
+                lambda im, h, t, vl: macenko_transform_sharded(
+                    im, h, t, "pixel", valid=vl
+                ),
+                mesh=mesh_px8,
+                in_specs=(spec, None, None, vspec),
+                out_specs=spec,
+                check_vma=False,
+            )(imgs, he_p, mc_p, v)
+
+        out = np.asarray(
+            run(
+                jax.device_put(jnp.asarray(padded), NamedSharding(mesh_px8, spec)),
+                jax.device_put(jnp.asarray(valid), NamedSharding(mesh_px8, vspec)),
+            )
+        )
+        np.testing.assert_allclose(
+            out[:, :, :32, :].astype(np.float32),
+            single.astype(np.float32),
+            atol=1.0,
+        )
