@@ -268,6 +268,41 @@ def _stain_separate(
     return _he_from_phi_extremes(evecs, min_phi, max_phi), evecs
 
 
+def rescale_and_reconstruct(
+    c0, c1, max_c0, max_c1, target_max_conc, stain_matrix, recon_dtype=jnp.float32
+):
+    """maxC guard + concentration rescale + Beer–Lambert reconstruction —
+    the transform tail shared by the jnp pipeline and the pixel-sharded
+    transform (``parallel/distributed.py``). ``c0``/``c1`` are (N, P)
+    concentration planes, ``max_c*`` their (N,) 99th percentiles; returns
+    clipped RGB (N, 3, P) f32 in [0, 255].
+
+    maxC floor: a uniform (background) tile yields all-zero concentrations
+    and maxC == 0 — tmc/0 = inf then 0·inf = NaN. The guard is
+    SIGN-PRESERVING (|maxC| test, not a max clamp): a degenerate-but-real
+    tile (pen ink / control marker) can have a NEGATIVE 99th-percentile
+    concentration, and the reference divides through it unchanged
+    (``torch_backend.py:452``) — clamping it to +1e-30 produced a ~1e30
+    scale and all-0/255 garbage (round-2 advisor finding). Division bits
+    depend only on operand values, so well-posed outputs are untouched.
+    """
+    tmc = target_max_conc.reshape(-1).astype(jnp.float32)
+    safe_c0 = jnp.where(jnp.abs(max_c0) > 1e-30, max_c0, 1e-30)
+    safe_c1 = jnp.where(jnp.abs(max_c1) > 1e-30, max_c1, 1e-30)
+    cn0 = (c0 * (tmc[0] / safe_c0)[:, None]).astype(recon_dtype)
+    cn1 = (c1 * (tmc[1] / safe_c1)[:, None]).astype(recon_dtype)
+
+    stain = stain_matrix.astype(jnp.float32)
+    recon = [
+        (
+            cn0 * stain[i, 0].astype(recon_dtype) + cn1 * stain[i, 1].astype(recon_dtype)
+        ).astype(jnp.float32)
+        for i in range(3)
+    ]
+    od_recon = jnp.stack(recon, axis=1)  # (N, 3, P)
+    return jnp.clip(IO * jnp.exp(-od_recon), 0.0, 255.0)
+
+
 def _macenko_transform_fused(images, stain_matrix, target_max_conc):
     """Fully-fused Pallas hot path. Default: the single mega-kernel — the
     ENTIRE per-image transform (moments, analytic eigh, φ/concentration
@@ -379,30 +414,9 @@ def macenko_transform(
         max_c = kth_smallest(c_stack, jnp.full((2 * n,), idx99, jnp.int32), levels=levels)
     max_c0, max_c1 = max_c[:n], max_c[n:]
 
-    tmc = target_max_conc.reshape(-1).astype(jnp.float32)
-    # maxC floor: a uniform (background) tile yields all-zero concentrations
-    # and maxC == 0 — tmc/0 = inf then 0·inf = NaN. The guard is
-    # SIGN-PRESERVING (|maxC| test, not a max clamp): a degenerate-but-real
-    # tile (pen ink / control marker) can have a NEGATIVE 99th-percentile
-    # concentration, and the reference divides through it unchanged
-    # (``torch_backend.py:452``) — clamping it to +1e-30 produced a ~1e30
-    # scale and all-0/255 garbage (round-2 advisor finding). Division bits
-    # depend only on operand values, so well-posed outputs are untouched.
-    safe_c0 = jnp.where(jnp.abs(max_c0) > 1e-30, max_c0, 1e-30)
-    safe_c1 = jnp.where(jnp.abs(max_c1) > 1e-30, max_c1, 1e-30)
-    cn0 = (c0 * (tmc[0] / safe_c0)[:, None]).astype(recon_dtype)
-    cn1 = (c1 * (tmc[1] / safe_c1)[:, None]).astype(recon_dtype)
-
-    stain = stain_matrix.astype(jnp.float32)
-    recon = [
-        (
-            cn0 * stain[i, 0].astype(recon_dtype) + cn1 * stain[i, 1].astype(recon_dtype)
-        ).astype(jnp.float32)
-        for i in range(3)
-    ]
-    od_recon = jnp.stack(recon, axis=1)  # (N, 3, P)
-
-    rgb = jnp.clip(IO * jnp.exp(-od_recon), 0.0, 255.0).reshape(n, c, h, w)
+    rgb = rescale_and_reconstruct(
+        c0, c1, max_c0, max_c1, target_max_conc, stain_matrix, recon_dtype
+    ).reshape(n, c, h, w)
     return color.preserve_dtype(rgb, original_dtype, was_uint8, result_in_0_255_range=True)
 
 

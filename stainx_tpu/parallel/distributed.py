@@ -217,14 +217,18 @@ def macenko_transform_sharded(
     # image that globally has plenty).
     w_m = mask.astype(jnp.float32)
     w_a = all_mask.astype(jnp.float32)
-    cnt = jax.lax.psum(jnp.sum(w_m, axis=-1), axis_name)  # (N,)
-    cnt_a = jax.lax.psum(jnp.sum(w_a, axis=-1), axis_name)
-    s1 = jax.lax.psum(
-        jnp.stack([jnp.sum(w_m * od_c[i], axis=-1) for i in range(3)], -1), axis_name
-    )  # (N, 3)
-    s1_a = jax.lax.psum(
-        jnp.stack([jnp.sum(w_a * od_c[i], axis=-1) for i in range(3)], -1), axis_name
+    # Pass 1 packed into ONE (N, 8) collective: [cnt, cnt_a, s1(3), s1_a(3)].
+    pass1 = jax.lax.psum(
+        jnp.stack(
+            [jnp.sum(w_m, axis=-1), jnp.sum(w_a, axis=-1)]
+            + [jnp.sum(w_m * od_c[i], axis=-1) for i in range(3)]
+            + [jnp.sum(w_a * od_c[i], axis=-1) for i in range(3)],
+            axis=-1,
+        ),
+        axis_name,
     )
+    cnt, cnt_a = pass1[:, 0], pass1[:, 1]
+    s1, s1_a = pass1[:, 2:5], pass1[:, 5:8]
     use_all = cnt < 3
     cnt_eff = jnp.where(use_all, cnt_a, cnt)
     mu = jnp.where(use_all[:, None], s1_a, s1) / jnp.maximum(cnt_eff, 1.0)[:, None]
@@ -272,23 +276,11 @@ def macenko_transform_sharded(
     max_c = distributed_masked_percentile(c_stack, all2, (99,) * (2 * n), axis_name)
     max_c0, max_c1 = max_c[:n], max_c[n:]
 
-    # Sign-preserving maxC guard (see ops/macenko.py — round-2 advisor).
-    safe_c0 = jnp.where(jnp.abs(max_c0) > 1e-30, max_c0, 1e-30)
-    safe_c1 = jnp.where(jnp.abs(max_c1) > 1e-30, max_c1, 1e-30)
-    tmc = target_max_conc.reshape(-1).astype(jnp.float32)
+    # Shared tail: sign-preserving maxC guard + rescale + reconstruction.
     recon_dtype = jnp.bfloat16 if precision == "fast" else jnp.float32
-    cn0 = (c0 * (tmc[0] / safe_c0)[:, None]).astype(recon_dtype)
-    cn1 = (c1 * (tmc[1] / safe_c1)[:, None]).astype(recon_dtype)
-
-    stain = stain_matrix.astype(jnp.float32)
-    recon = [
-        (
-            cn0 * stain[i, 0].astype(recon_dtype) + cn1 * stain[i, 1].astype(recon_dtype)
-        ).astype(jnp.float32)
-        for i in range(3)
-    ]
-    od_recon = jnp.stack(recon, axis=1)  # (N, 3, P_local)
-    rgb = jnp.clip(macenko_ops.IO * jnp.exp(-od_recon), 0.0, 255.0).reshape(n, c, h, w)
+    rgb = macenko_ops.rescale_and_reconstruct(
+        c0, c1, max_c0, max_c1, target_max_conc, stain_matrix, recon_dtype
+    ).reshape(n, c, h, w)
     return color.preserve_dtype(rgb, original_dtype, was_uint8, result_in_0_255_range=True)
 
 
