@@ -193,14 +193,17 @@ STREAM_MEGA_ENABLED = True
 # kernel runs one image per grid step, so at tiny rows its per-image fixed
 # cost (~7.7 µs at 64² — descent syncs + scalar eigh + pass setup)
 # dominates, while the jnp path is batch-parallel across the whole XLA
-# program. Measured on v5e uint8 (MPix/s, pallas vs jnp): 256×64²
-# 504 vs 814–1273, 128×64² 358 vs 646, 1024×64² 518 vs 1098 — jnp wins
-# every ≥128-batch 64² measurement; at 32–64 batch the pallas path wins
-# (241 vs 183, 210 vs 111), and at ≥72² results flip around (jnp timings
-# at 72²–80² swing 297–1462 between processes; pallas is stable) — so the
-# route triggers only on the proven cell: rows ≤ 64² AND batch ≥ 128.
+# program. Measured on v5e at 64² (MPix/s, jnp vs pallas): batch 256 the
+# jnp path wins EVERY measurement, both dtypes (uint8 652–1273 vs ~504;
+# f32 1174 vs 500; grid harness 2 008 vs 529), as does 1024 (1098 vs
+# 518). Below 256 it is data-dependent: at batch 128 repeats across data
+# seeds swing 217–1146 uint8 / 311–714 f32 around pallas's stable ~550
+# (the jnp refinement's depth varies with the pixel distribution), and at
+# 32–64 batch pallas wins outright. At ≥72² jnp swings 297–1462 between
+# processes. The route therefore triggers only on the cell that never
+# lost: rows ≤ 64² AND batch ≥ 256.
 TINY_JNP_MAX_ELEMS = 4096
-TINY_JNP_MIN_BATCH = 128
+TINY_JNP_MIN_BATCH = 256
 
 
 def _select_route(p: int, use_pallas: bool) -> str:

@@ -399,19 +399,20 @@ def test_nearest_rank_index_no_int32_overflow():
 
 
 class TestTinyRowRoute:
-    """Rows ≤ 64² at batch ≥ 128 route to the batch-parallel jnp path even
+    """Rows ≤ 64² at batch ≥ 256 route to the batch-parallel jnp path even
     under use_pallas=True (the mega kernel's one-image-per-grid-step fixed
-    cost dominates tiny rows — measured 1.3–2.5× slower on v5e). The route
-    must preserve the oracle contract and output dtype/shape."""
+    cost dominates tiny rows — measured up to ~4× slower on v5e at this
+    cell). The route must preserve the oracle contract and output
+    dtype/shape."""
 
     def test_tiny_large_batch_matches_oracle(self):
-        from stainx_tpu.ops.macenko import macenko_fit, macenko_transform
+        from stainx_tpu.ops.macenko import TINY_JNP_MIN_BATCH, macenko_fit, macenko_transform
 
         ref = oracle.synthetic_he_tile(64, 64, seed=42)
         batch = np.concatenate(
             [oracle.synthetic_he_tile(64, 64, seed=s, he_scale=1.1) for s in range(8)]
-            * 16
-        )  # N=128
+            * (TINY_JNP_MIN_BATCH // 8)
+        )  # N = TINY_JNP_MIN_BATCH — the smallest routed batch
         he, mc = macenko_fit(jnp.asarray(ref))
         out = np.asarray(
             macenko_transform(jnp.asarray(batch), he, mc, use_pallas=True)
