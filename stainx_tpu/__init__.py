@@ -18,7 +18,20 @@ A from-scratch re-design of the StainX API (reference: rendeirolab/stainx,
 from stainx_tpu.normalizers import HistogramMatching, Macenko, Reinhard
 from stainx_tpu.transforms import StainNormalizerTransform
 
-__version__ = "0.2.0"
+
+def _get_version() -> str:
+    """Installed-package metadata first, source-tree fallback second — the
+    reference's scheme (``src/stainx/__init__.py:9-17``), so an editable
+    checkout and a wheel report consistently."""
+    try:
+        from importlib.metadata import version
+
+        return version("stainx-tpu")
+    except Exception:
+        return "0.3.0"
+
+
+__version__ = _get_version()
 
 __all__ = [
     "HistogramMatching",
