@@ -141,9 +141,10 @@ int tp_enqueue(void* handle, int slot, const char* paths, const uint64_t* offset
 }
 
 // Block until every read enqueued into `slot` finished; returns the number
-// of failed reads (0 = success).
+// of failed reads (0 = success, -1 = invalid slot).
 int tp_wait(void* handle, int slot) {
     auto* p = static_cast<Pipe*>(handle);
+    if (slot < 0 || static_cast<size_t>(slot) >= p->slots.size()) return -1;
     Slot& s = p->slots[static_cast<size_t>(slot)];
     std::unique_lock<std::mutex> lock(p->mu);
     p->cv_done.wait(lock, [&] { return s.pending.load() == 0; });
@@ -152,6 +153,7 @@ int tp_wait(void* handle, int slot) {
 
 uint8_t* tp_buffer(void* handle, int slot) {
     auto* p = static_cast<Pipe*>(handle);
+    if (slot < 0 || static_cast<size_t>(slot) >= p->slots.size()) return nullptr;
     return p->slots[static_cast<size_t>(slot)].data;
 }
 

@@ -88,12 +88,16 @@ class TilePipe:
     def wait(self, slot: int) -> None:
         """Block until the slot's reads finish; raises on any failed read."""
         errors = self._lib.tp_wait(self._handle, slot)
+        if errors < 0:
+            raise ValueError(f"tilepipe: invalid slot {slot} (n_slots={self.n_slots})")
         if errors:
             raise OSError(f"tilepipe: {errors} read(s) failed in slot {slot}")
 
     def buffer(self, slot: int) -> np.ndarray:
         """Zero-copy uint8 view of the slot buffer (valid until close)."""
         ptr = self._lib.tp_buffer(self._handle, slot)
+        if not ptr:
+            raise ValueError(f"tilepipe: invalid slot {slot} (n_slots={self.n_slots})")
         return np.ctypeslib.as_array(ptr, shape=(self.slot_bytes,))
 
     def close(self) -> None:

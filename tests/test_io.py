@@ -82,3 +82,20 @@ def test_feeds_normalizer(tile_dir):
     for batch in loader:
         out = norm.transform(batch)
         assert out.shape == batch.shape
+
+
+def test_invalid_slot_raises_not_ub():
+    """tp_wait / tp_buffer bounds-check the slot index (a bad slot from the
+    public TilePipe API previously indexed out of bounds in native code)."""
+    from stainx_tpu.io.tilepipe import TilePipe, tilepipe_available
+
+    if not tilepipe_available():
+        pytest.skip("native tilepipe unavailable")
+    pipe = TilePipe(slot_bytes=64, n_slots=2, n_threads=1)
+    try:
+        with pytest.raises(ValueError, match="invalid slot"):
+            pipe.wait(5)
+        with pytest.raises(ValueError, match="invalid slot"):
+            pipe.buffer(-1)
+    finally:
+        pipe.close()
