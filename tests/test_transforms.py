@@ -294,3 +294,19 @@ class TestMeshPixelAxis:
     def test_pixel_axis_without_mesh_raises(self, he_ref):
         with pytest.raises(ValueError, match="pixel_axis requires mesh"):
             StainNormalizerTransform(method="macenko", reference=he_ref, pixel_axis="pixel")
+
+    def test_batch_mode_ref_index_with_pixel_sharding(self, mesh2d, big_batch):
+        """mode='batch' with a concrete batch_ref_index fits single-device
+        on the selected image and transforms pixel-sharded — the fit path
+        must not require the mesh."""
+        t = StainNormalizerTransform(
+            method="macenko",
+            mode="batch",
+            batch_ref_index=0,
+            mesh=mesh2d,
+            pixel_axis="pixel",
+            device="cpu",
+        )
+        out = np.asarray(t(big_batch))
+        assert out.shape == big_batch.shape
+        assert np.isfinite(out.astype(np.float32)).all()
