@@ -125,7 +125,19 @@ def hm_build_lut(source_counts: jnp.ndarray, ref_hist: jnp.ndarray, num_pixels: 
     lut = (indices - 1).astype(jnp.float32) + alpha
 
     below_min = source_cdf <= ref_quantiles[:, 0:1]
-    above_max = source_cdf >= ref_quantiles[:, 255:256]
+    # Above-max pinning is decided STRUCTURALLY (integer cumulative counts
+    # saturated), not by the float compare the reference writes
+    # (``source_cdf >= ref_quantiles[-1]``): in exact arithmetic the CDF at
+    # the last occupied source bin is cum/total = 1, strictly above
+    # ref_q_max = S/(S+1e-8) < 1 — the pin always fires there. In f32 the
+    # cumsum-of-quotients rounds either side of 1.0 by an ulp DEPENDING ON
+    # FUSION CONTEXT, and when the matched reference quantile sits far
+    # below 255 the flip is a 100+-grey output change on the source-max
+    # pixels (caught by the pixel-sharded odd-H parity test, where two
+    # compilations of this same function disagreed).
+    cum_int = jnp.cumsum(source_counts.astype(jnp.int32), axis=1)
+    total_int = jnp.asarray(num_pixels, jnp.float32).astype(jnp.int32)
+    above_max = cum_int >= total_int
     lut = jnp.where(below_min, 0.0, lut)
     lut = jnp.where(above_max, 255.0, lut)
     return jnp.clip(lut, 0.0, 255.0)
