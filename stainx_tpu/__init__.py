@@ -20,15 +20,24 @@ from stainx_tpu.transforms import StainNormalizerTransform
 
 
 def _get_version() -> str:
-    """Installed-package metadata first, source-tree fallback second — the
-    reference's scheme (``src/stainx/__init__.py:9-17``), so an editable
-    checkout and a wheel report consistently."""
+    """Installed-package metadata first, source-tree pyproject second — the
+    reference's scheme (``src/stainx/__init__.py:9-17``), with the fallback
+    READ from pyproject.toml rather than duplicated here (the 0.2.0-vs-0.2.1
+    drift this replaced came from exactly such a second copy)."""
     try:
         from importlib.metadata import version
 
         return version("stainx-tpu")
     except Exception:
-        return "0.3.0"
+        pass
+    try:
+        import re
+        from pathlib import Path
+
+        text = (Path(__file__).resolve().parent.parent / "pyproject.toml").read_text()
+        return re.search(r'^version\s*=\s*"([^"]+)"', text, re.M).group(1)
+    except Exception:
+        return "0.0.0+unknown"
 
 
 __version__ = _get_version()

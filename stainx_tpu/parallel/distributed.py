@@ -35,12 +35,16 @@ def reinhard_fit_sharded(images, axis_name, weights=None):
     return reinhard_ops.reinhard_fit_sharded(images, axis_name=axis_name, weights=weights)
 
 
-def reinhard_transform_sharded(images, reference_mean, reference_std, axis_name, weights=None):
+def reinhard_transform_sharded(
+    images, reference_mean, reference_std, axis_name, weights=None, valid_rows=None
+):
     """Sharded Reinhard transform with **batch-global** source statistics
     (the reference normalizes with whole-batch LAB mean/std,
     ``torch_backend.py:344-349`` — so a sharded batch needs a psum).
-    ``weights`` excludes zero-padded rows from the source statistics; the
-    padded rows' outputs are garbage and must be sliced off by the caller."""
+    ``weights`` ((N_local,) 0/1) excludes zero-padded batch rows and
+    ``valid_rows`` ((H_local,) bool) zero-padded pixel rows from the
+    source statistics; padded outputs are garbage and must be sliced off
+    by the caller."""
     original_dtype = images.dtype
     was_uint8 = original_dtype == jnp.uint8
     lab = color.rgb_to_lab(color.normalize_to_float(images), channel_axis=1)
@@ -48,15 +52,20 @@ def reinhard_transform_sharded(images, reference_mean, reference_std, axis_name,
     # Centered additive moments (see ops.reinhard.LAB_MOMENT_CENTER —
     # raw Σx² cancels catastrophically in f32 for low-variance channels).
     lab_c = lab - reinhard_ops.LAB_MOMENT_CENTER
-    if weights is None:
+    if weights is None and valid_rows is None:
         n = jnp.asarray(lab.shape[0] * lab.shape[2] * lab.shape[3], jnp.float32)
         s = jnp.sum(lab_c, axis=(0, 2, 3))
         sq = jnp.sum(lab_c * lab_c, axis=(0, 2, 3))
     else:
-        w = weights.astype(jnp.float32)[:, None]
-        n = jnp.sum(w) * jnp.float32(lab.shape[2] * lab.shape[3])
-        s = jnp.sum(jnp.sum(lab_c, axis=(2, 3)) * w, axis=0)
-        sq = jnp.sum(jnp.sum(lab_c * lab_c, axis=(2, 3)) * w, axis=0)
+        # Per-pixel weight = batch-row weight × pixel-row validity.
+        wpx = jnp.ones((lab.shape[0], 1, lab.shape[2], lab.shape[3]), jnp.float32)
+        if weights is not None:
+            wpx = wpx * weights.astype(jnp.float32)[:, None, None, None]
+        if valid_rows is not None:
+            wpx = wpx * valid_rows.astype(jnp.float32)[None, None, :, None]
+        n = jnp.sum(wpx)
+        s = jnp.sum(lab_c * wpx, axis=(0, 2, 3))
+        sq = jnp.sum(lab_c * lab_c * wpx, axis=(0, 2, 3))
     n = jax.lax.psum(n, axis_name)
     s = jax.lax.psum(s, axis_name)
     sq = jax.lax.psum(sq, axis_name)
@@ -72,21 +81,25 @@ def reinhard_transform_sharded(images, reference_mean, reference_std, axis_name,
 # ------------------------------------------------------- Histogram matching
 
 
-def _local_histogram(images_u8, weights):
+def _local_histogram(images_u8, weights, valid_rows=None):
     """Per-channel 256-bin counts over the local shard, excluding rows with
-    weight 0: zeroed-out rows land every pixel in bin 0, which is then
-    corrected by an exact subtraction (the same trick
-    ``hm_ops.histogram_256`` uses for its own chunk padding)."""
+    weight 0 (batch padding) and, with ``valid_rows`` ((H,) bool), padded
+    pixel rows: zeroed-out pixels land in bin 0, which is then corrected by
+    an exact subtraction (the same trick ``hm_ops.histogram_256`` uses for
+    its own chunk padding). Returns ``(counts (C, 256), valid_px scalar)``."""
     n, c, h, w = images_u8.shape
+    n_valid = jnp.float32(n) if weights is None else jnp.sum((weights > 0).astype(jnp.float32))
+    h_valid = jnp.float32(h) if valid_rows is None else jnp.sum(valid_rows.astype(jnp.float32))
     if weights is not None:
-        valid = (weights > 0).astype(images_u8.dtype)
-        images_u8 = images_u8 * valid[:, None, None, None]
+        images_u8 = images_u8 * (weights > 0).astype(images_u8.dtype)[:, None, None, None]
+    if valid_rows is not None:
+        images_u8 = images_u8 * valid_rows.astype(images_u8.dtype)[None, None, :, None]
     flat = jnp.transpose(images_u8, (1, 0, 2, 3)).reshape(c, n * h * w)
     counts = hm_ops.histogram_256(flat)
-    if weights is not None:
-        n_invalid_px = (jnp.float32(n) - jnp.sum((weights > 0).astype(jnp.float32))) * (h * w)
-        counts = counts.at[:, 0].add(-n_invalid_px)
-    return counts
+    valid_px = n_valid * h_valid * jnp.float32(w)
+    if weights is not None or valid_rows is not None:
+        counts = counts.at[:, 0].add(valid_px - jnp.float32(n * h * w))
+    return counts, valid_px
 
 
 def hm_fit_sharded(images, axis_name, channel_axis: int = 1, weights=None):
@@ -94,7 +107,8 @@ def hm_fit_sharded(images, axis_name, channel_axis: int = 1, weights=None):
     ``weights`` excludes zero-padded rows (uneven-batch sharding)."""
     images_cf, _ = hm_ops._to_channels_first(images, channel_axis)
     images_u8, _ = color.images_to_uint8(images_cf)
-    counts = jax.lax.psum(_local_histogram(images_u8, weights), axis_name)
+    counts, _ = _local_histogram(images_u8, weights)
+    counts = jax.lax.psum(counts, axis_name)
     return counts / (jnp.sum(counts, axis=1, keepdims=True) + 1e-8)
 
 
@@ -356,7 +370,7 @@ def _axis_size(mesh: Mesh, batch_axis: str) -> int:
     return mesh.shape[batch_axis]
 
 
-def _check_pixel_axis(mesh: Mesh, pixel_axis: str | None, batch_axis: str, h: int) -> None:
+def _check_pixel_axis(mesh: Mesh, pixel_axis: str | None, batch_axis: str) -> None:
     if pixel_axis is None:
         return
     if pixel_axis not in mesh.shape:
@@ -369,12 +383,15 @@ def _check_pixel_axis(mesh: Mesh, pixel_axis: str | None, batch_axis: str, h: in
             f"pixel_axis must differ from batch_axis (both '{batch_axis}'): a batch "
             "axis shards different images; a pixel axis shards each image's rows."
         )
+
+
+def _check_fit_h(mesh: Mesh, pixel_axis: str, h: int) -> None:
     px = mesh.shape[pixel_axis]
     if h % px:
         raise ValueError(
             f"the '{pixel_axis}' mesh axis ({px} shards) does not divide image "
-            f"height {h}. Pad H to a multiple of {px} (pixel rows are not auto-padded "
-            "— padded pixels would enter per-image statistics)."
+            f"height {h} for a pixel-sharded FIT. Pad H to a multiple of {px} "
+            "(transform_on_mesh auto-pads; the fit path does not)."
         )
 
 
@@ -411,7 +428,9 @@ def fit_on_mesh(
     if method not in _FIT_SHARDED:
         raise ValueError(f"Unknown method '{method}'. Choose from {sorted(_FIT_SHARDED)}")
     images = jnp.asarray(images)
-    _check_pixel_axis(mesh, pixel_axis, batch_axis, images.shape[2])
+    _check_pixel_axis(mesh, pixel_axis, batch_axis)
+    if pixel_axis is not None:
+        _check_fit_h(mesh, pixel_axis, images.shape[2])
     padded, weights, _ = _pad_to_axis(images, _axis_size(mesh, batch_axis))
     spec = NamedSharding(mesh, PartitionSpec(batch_axis, None, pixel_axis))
     w_spec = NamedSharding(mesh, PartitionSpec(batch_axis))
@@ -435,13 +454,49 @@ def _transform_runner(
 ):
     img_spec = PartitionSpec(batch_axis, None, pixel_axis)  # pixel_axis=None ⇒ batch-only
     w_spec = PartitionSpec(batch_axis)
+    vr_spec = PartitionSpec(pixel_axis)
     repl = PartitionSpec()
     # Batch-GLOBAL statistics (reinhard/HM) reduce over every axis the data
     # is sharded on; macenko's statistics are per-IMAGE, so they reduce over
     # the pixel axis only — the batch axis holds different images.
     stat_axis = (batch_axis, pixel_axis) if pixel_axis else batch_axis
+    # With a pixel axis, every runner takes a (H_padded,) bool row-validity
+    # vector right after the images (all-True when H divided the axis) —
+    # one signature per (method, weighted) instead of a padded/unpadded
+    # matrix of jit caches. Macenko expands it to the per-pixel ``valid``
+    # mask its sharded transform takes.
 
     if method == "reinhard":
+        if pixel_axis and weighted:
+
+            @jax.jit
+            def run(imgs, vr, w, mean, std):
+                return jax.shard_map(
+                    lambda im, vl, wl, m, s: reinhard_transform_sharded(
+                        im, m, s, stat_axis, weights=wl, valid_rows=vl
+                    ),
+                    mesh=mesh,
+                    in_specs=(img_spec, vr_spec, w_spec, repl, repl),
+                    out_specs=img_spec,
+                    check_vma=False,
+                )(imgs, vr, w, mean, std)
+
+            return run
+        if pixel_axis:
+
+            @jax.jit
+            def run(imgs, vr, mean, std):
+                return jax.shard_map(
+                    lambda im, vl, m, s: reinhard_transform_sharded(
+                        im, m, s, stat_axis, valid_rows=vl
+                    ),
+                    mesh=mesh,
+                    in_specs=(img_spec, vr_spec, repl, repl),
+                    out_specs=img_spec,
+                    check_vma=False,
+                )(imgs, vr, mean, std)
+
+            return run
         if weighted:
 
             @jax.jit
@@ -473,18 +528,25 @@ def _transform_runner(
     if method == "macenko":
         if pixel_axis:
             # Per-image statistics psum over the pixel shards
-            # (macenko_transform_sharded); reconstruction is local.
+            # (macenko_transform_sharded); reconstruction is local. The
+            # row-validity vector expands to the (N, H_local, W) mask.
             @jax.jit
-            def run(imgs, he, tmc):
+            def run(imgs, vr, he, tmc):
+                def body(im, vl, h, t):
+                    v = jnp.broadcast_to(
+                        vl[None, :, None], (im.shape[0], im.shape[2], im.shape[3])
+                    )
+                    return macenko_transform_sharded(
+                        im, h, t, pixel_axis, precision=precision, valid=v
+                    )
+
                 return jax.shard_map(
-                    lambda im, h, t: macenko_transform_sharded(
-                        im, h, t, pixel_axis, precision=precision
-                    ),
+                    body,
                     mesh=mesh,
-                    in_specs=(img_spec, repl, repl),
+                    in_specs=(img_spec, vr_spec, repl, repl),
                     out_specs=img_spec,
                     check_vma=False,
-                )(imgs, he, tmc)
+                )(imgs, vr, he, tmc)
 
             return run
 
@@ -510,6 +572,36 @@ def _transform_runner(
     if method == "histogram_matching":
         # Batch-global source CDFs: each shard psums its source histogram
         # over ``stat_axis`` (hm_transform_sharded) for exact batch parity.
+        if pixel_axis and weighted:
+
+            @jax.jit
+            def run(imgs, vr, w, hists):
+                return jax.shard_map(
+                    lambda im, vl, wl, hs: hm_transform_sharded(
+                        im, hs, stat_axis, weights=wl, valid_rows=vl
+                    ),
+                    mesh=mesh,
+                    in_specs=(img_spec, vr_spec, w_spec, repl),
+                    out_specs=img_spec,
+                    check_vma=False,
+                )(imgs, vr, w, hists)
+
+            return run
+        if pixel_axis:
+
+            @jax.jit
+            def run(imgs, vr, hists):
+                return jax.shard_map(
+                    lambda im, vl, hs: hm_transform_sharded(
+                        im, hs, stat_axis, valid_rows=vl
+                    ),
+                    mesh=mesh,
+                    in_specs=(img_spec, vr_spec, repl),
+                    out_specs=img_spec,
+                    check_vma=False,
+                )(imgs, vr, hists)
+
+            return run
         if weighted:
 
             @jax.jit
@@ -555,19 +647,36 @@ def transform_on_mesh(
     batch-global statistics, and sliced off the output.
 
     With ``pixel_axis`` each image's rows are additionally sharded over that
-    mesh axis (its size must divide H) — for images too large for one chip.
-    Reinhard/HM statistics then psum over both axes; Macenko routes to
-    :func:`macenko_transform_sharded` (per-image statistics psum over the
-    pixel shards only)."""
+    mesh axis — for images too large for one chip. Any H is accepted: a
+    non-dividing H is zero-padded, the padded pixel rows are excluded from
+    every statistic via a sharded row-validity vector, and the output rows
+    are sliced back off. Reinhard/HM statistics psum over both axes;
+    Macenko routes to :func:`macenko_transform_sharded` (per-image
+    statistics psum over the pixel shards only)."""
     if method not in _FIT_SHARDED:
         raise ValueError(f"Unknown method '{method}'. Choose from {sorted(_FIT_SHARDED)}")
     images = jnp.asarray(images)
-    _check_pixel_axis(mesh, pixel_axis, batch_axis, images.shape[2])
+    _check_pixel_axis(mesh, pixel_axis, batch_axis)
+    h = images.shape[2]
+    vr_args = ()
+    if pixel_axis is not None:
+        px = mesh.shape[pixel_axis]
+        h_pad = ((h + px - 1) // px) * px
+        if h_pad != h:
+            images = jnp.concatenate(
+                [images, jnp.zeros((*images.shape[:2], h_pad - h, images.shape[3]), images.dtype)],
+                axis=2,
+            )
+        rows_valid = jnp.arange(h_pad) < h
+        vr_args = (
+            jax.device_put(rows_valid, NamedSharding(mesh, PartitionSpec(pixel_axis))),
+        )
     padded, weights, n = _pad_to_axis(images, _axis_size(mesh, batch_axis))
     spec = NamedSharding(mesh, PartitionSpec(batch_axis, None, pixel_axis))
     w_sharding = NamedSharding(mesh, PartitionSpec(batch_axis))
     sharded = jax.device_put(padded, spec)
-    # Macenko is per-image: padded rows can't contaminate real outputs.
+    # Macenko is per-image: padded BATCH rows can't contaminate real outputs
+    # (padded pixel rows ride the row-validity vector instead).
     weighted = weights is not None and method != "macenko"
     run = _transform_runner(
         method,
@@ -578,33 +687,36 @@ def transform_on_mesh(
         weighted,
         pixel_axis,
     )
-    w_args = (jax.device_put(weights, w_sharding),) if weighted else ()
+    w_args = vr_args + ((jax.device_put(weights, w_sharding),) if weighted else ())
     replicated = NamedSharding(mesh, PartitionSpec())
     if method in ("reinhard", "macenko"):
         p0, p1 = (jax.device_put(jnp.asarray(p), replicated) for p in params)
         out = run(sharded, *w_args, p0, p1)
     else:
         out = run(sharded, *w_args, jax.device_put(jnp.asarray(params, jnp.float32), replicated))
+    if out.shape[2] != h:
+        out = out[:, :, :h, :]
     return out[:n] if padded.shape[0] != n else out
 
 
-def hm_transform_sharded(images, ref_histograms, axis_name, channel_axis: int = 1, weights=None):
+def hm_transform_sharded(
+    images, ref_histograms, axis_name, channel_axis: int = 1, weights=None, valid_rows=None
+):
     """Sharded HM transform with **batch-global** source CDFs (the reference
     builds one source histogram over the whole batch per channel,
     ``torch_backend.py:228-236`` — additive, so one psum). ``weights``
-    excludes zero-padded rows from the source histogram; their outputs are
-    garbage and must be sliced off by the caller."""
+    ((N_local,) 0/1) excludes zero-padded batch rows and ``valid_rows``
+    ((H_local,) bool) zero-padded pixel rows from the source histogram;
+    padded outputs are garbage and must be sliced off by the caller."""
     original_dtype = images.dtype
     images_cf, needs_permute = hm_ops._to_channels_first(images, channel_axis)
     was_uint8 = images_cf.dtype == jnp.uint8
     images_u8, needs_scale_back = color.images_to_uint8(images_cf)
     n, c, h, w = images_u8.shape
 
-    counts = jax.lax.psum(_local_histogram(images_u8, weights), axis_name)
-    n_valid = (
-        jnp.float32(n) if weights is None else jnp.sum((weights > 0).astype(jnp.float32))
-    )
-    total = jax.lax.psum(n_valid * (h * w), axis_name)
+    counts, valid_px = _local_histogram(images_u8, weights, valid_rows)
+    counts = jax.lax.psum(counts, axis_name)
+    total = jax.lax.psum(valid_px, axis_name)
     lut = hm_ops.hm_build_lut(counts, jnp.asarray(ref_histograms, jnp.float32), total)
 
     matched = hm_ops._apply_lut(images_u8, lut)

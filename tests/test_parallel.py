@@ -471,15 +471,6 @@ class TestPixelSharded:
                 mesh2d,
                 pixel_axis="nope",
             )
-        odd_h = he_batch[:, :, :31, :]  # 31 % 2 != 0
-        with pytest.raises(ValueError, match="does not divide"):
-            parallel.transform_on_mesh(
-                "macenko",
-                odd_h,
-                (jnp.zeros((3, 2)), jnp.ones(2)),
-                mesh2d,
-                pixel_axis="pixel",
-            )
         with pytest.raises(ValueError, match="must differ from batch_axis"):
             parallel.transform_on_mesh(
                 "macenko",
@@ -488,6 +479,53 @@ class TestPixelSharded:
                 mesh2d,
                 pixel_axis="batch",
             )
+        # The FIT path keeps the divisibility requirement (actionable error).
+        odd_h = he_batch[:, :, :31, :]
+        with pytest.raises(ValueError, match="does not divide"):
+            parallel.fit_on_mesh("macenko", odd_h, mesh2d, pixel_axis="pixel")
+
+    @pytest.mark.parametrize("method", ["macenko", "reinhard", "histogram_matching"])
+    def test_odd_h_auto_pads(self, mesh_px8, he_batch, method):
+        """transform_on_mesh accepts ANY image height with a pixel axis:
+        a non-dividing H is zero-padded, the padded pixel rows are excluded
+        from every statistic via a sharded row-validity vector, and the
+        output rows are sliced back off — parity with the single-device
+        transform on the unpadded image."""
+        odd = he_batch[:2, :, :30, :]  # H=30, 8 pixel shards → pad to 32
+        if method == "macenko":
+            params = macenko_ops.macenko_fit(jnp.asarray(he_batch[2:3]))
+            single = macenko_ops.macenko_transform(jnp.asarray(odd), *params)
+        elif method == "reinhard":
+            params = reinhard_ops.reinhard_fit(jnp.asarray(he_batch[2:3]))
+            single = reinhard_ops.reinhard_transform(jnp.asarray(odd), *params)
+        else:
+            params = hm_ops.hm_fit(jnp.asarray(he_batch[2:3]))
+            single = hm_ops.hm_transform(jnp.asarray(odd), params)
+        out = parallel.transform_on_mesh(
+            method, odd, params, mesh_px8, pixel_axis="pixel"
+        )
+        assert out.shape == odd.shape
+        np.testing.assert_allclose(
+            np.asarray(out).astype(np.float32),
+            np.asarray(single).astype(np.float32),
+            atol=1.0,
+        )
+
+    def test_odd_h_and_uneven_batch_compose(self, mesh2d, he_batch):
+        """Batch pad+mask and pixel-row pad+mask together (reinhard has
+        batch-global statistics, so BOTH exclusions must be exact)."""
+        odd = he_batch[:3, :, :30, :]  # 3 % 4 != 0 AND 30 % 2 != 0
+        params = reinhard_ops.reinhard_fit(jnp.asarray(he_batch[3:4]))
+        single = reinhard_ops.reinhard_transform(jnp.asarray(odd), *params)
+        out = parallel.transform_on_mesh(
+            "reinhard", odd, params, mesh2d, pixel_axis="pixel"
+        )
+        assert out.shape == odd.shape
+        np.testing.assert_allclose(
+            np.asarray(out).astype(np.float32),
+            np.asarray(single).astype(np.float32),
+            atol=1.0,
+        )
 
     def test_macenko_valid_mask_excludes_padded_pixel_rows(self, mesh_px8, he_batch):
         """The ``valid=`` argument of macenko_transform_sharded: an image
@@ -495,8 +533,6 @@ class TestPixelSharded:
         statistics (and real-row outputs) as the unpadded single-device
         transform — padded pixels enter neither the β-mask, the fallback
         count, nor any percentile."""
-        import functools
-
         from jax.sharding import NamedSharding, PartitionSpec
 
         from stainx_tpu.parallel.distributed import macenko_transform_sharded
