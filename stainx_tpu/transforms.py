@@ -62,8 +62,9 @@ class StainNormalizerTransform:
         and batch-mode fits reduce their statistics across all chips
         (exact psum'd moments/histograms — no reference-era equivalent;
         SURVEY §2.3). ``pixel_axis``: optional mesh axis name to ALSO shard
-        each image's rows over (for images beyond one chip; the axis size
-        must divide H — see :func:`stainx_tpu.parallel.transform_on_mesh`)."""
+        each image's rows over (for images beyond one chip; any H — padded
+        rows are masked out of the statistics and sliced back off; see
+        :func:`stainx_tpu.parallel.transform_on_mesh`)."""
         from stainx_tpu.utils import get_device
 
         self.mode = mode
