@@ -310,3 +310,16 @@ class TestMeshPixelAxis:
         out = np.asarray(t(big_batch))
         assert out.shape == big_batch.shape
         assert np.isfinite(out.astype(np.float32)).all()
+
+    def test_odd_height_through_l5(self, mesh2d, he_ref, big_batch):
+        """Any H flows through StainNormalizerTransform(pixel_axis=...) —
+        the wrapper pads rows, masks them out of statistics, slices back."""
+        odd = big_batch[:, :, :30, :]
+        t_mesh = StainNormalizerTransform(
+            method="macenko", reference=he_ref, mesh=mesh2d, pixel_axis="pixel", device="cpu"
+        )
+        t_single = StainNormalizerTransform(method="macenko", reference=he_ref, device="cpu")
+        out_m = np.asarray(t_mesh(odd)).astype(np.float32)
+        out_s = np.asarray(t_single(odd)).astype(np.float32)
+        assert out_m.shape == odd.shape
+        np.testing.assert_allclose(out_m, out_s, atol=1.0 / 255.0)
