@@ -125,19 +125,27 @@ def hm_build_lut(source_counts: jnp.ndarray, ref_hist: jnp.ndarray, num_pixels: 
     lut = (indices - 1).astype(jnp.float32) + alpha
 
     below_min = source_cdf <= ref_quantiles[:, 0:1]
-    # Above-max pinning is decided STRUCTURALLY (integer cumulative counts
-    # saturated), not by the float compare the reference writes
-    # (``source_cdf >= ref_quantiles[-1]``): in exact arithmetic the CDF at
-    # the last occupied source bin is cum/total = 1, strictly above
-    # ref_q_max = S/(S+1e-8) < 1 — the pin always fires there. In f32 the
-    # cumsum-of-quotients rounds either side of 1.0 by an ulp DEPENDING ON
-    # FUSION CONTEXT, and when the matched reference quantile sits far
-    # below 255 the flip is a 100+-grey output change on the source-max
-    # pixels (caught by the pixel-sharded odd-H parity test, where two
-    # compilations of this same function disagreed).
-    cum_int = jnp.cumsum(source_counts.astype(jnp.int32), axis=1)
-    total_int = jnp.asarray(num_pixels, jnp.float32).astype(jnp.int32)
-    above_max = cum_int >= total_int
+    # Above-max pinning is decided STRUCTURALLY, not by the float compare
+    # the reference writes (``source_cdf >= ref_quantiles[-1]``): in exact
+    # arithmetic the CDF at the last occupied source bin is cum/total = 1,
+    # strictly above ref_q_max = S/(S+1e-8) < 1 — the pin always fires
+    # from that bin up. In f32 the cumsum-of-quotients rounds either side
+    # of 1.0 by an ulp DEPENDING ON FUSION CONTEXT, and when the matched
+    # reference quantile sits far below 255 the flip is a 100+-grey output
+    # change on the source-max pixels (caught by the pixel-sharded odd-H
+    # parity test, where two compilations of this same function
+    # disagreed). The structural form is pure OCCUPANCY — bin b pins iff
+    # no occupied bin lies strictly after it — a reversed cumulative count
+    # of the ≤256 occupied bins: exact at ANY pixel count (an integer
+    # cumsum of pixel counts would wrap past 2³¹, and a separately
+    # f32-rounded total can land an ulp above the exact cumsum and
+    # suppress the pin — review findings). Deviation from exact reference
+    # math only for bins with fewer than total·1e-8 pixels above them
+    # (possible only past 10⁸ pixels), where the reference's own f32
+    # cannot resolve the compare either.
+    occ = (source_counts > 0).astype(jnp.int32)
+    occ_at_or_after = jnp.cumsum(occ[:, ::-1], axis=1)[:, ::-1]
+    above_max = (occ_at_or_after - occ) == 0  # nothing occupied strictly after
     lut = jnp.where(below_min, 0.0, lut)
     lut = jnp.where(above_max, 255.0, lut)
     return jnp.clip(lut, 0.0, 255.0)

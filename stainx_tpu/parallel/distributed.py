@@ -57,13 +57,23 @@ def reinhard_transform_sharded(
         s = jnp.sum(lab_c, axis=(0, 2, 3))
         sq = jnp.sum(lab_c * lab_c, axis=(0, 2, 3))
     else:
-        # Per-pixel weight = batch-row weight × pixel-row validity.
-        wpx = jnp.ones((lab.shape[0], 1, lab.shape[2], lab.shape[3]), jnp.float32)
-        if weights is not None:
-            wpx = wpx * weights.astype(jnp.float32)[:, None, None, None]
-        if valid_rows is not None:
-            wpx = wpx * valid_rows.astype(jnp.float32)[None, None, :, None]
-        n = jnp.sum(wpx)
+        # Per-pixel weight = batch-row weight × pixel-row validity, kept
+        # FACTORED: the (N, 1, H, 1) outer product broadcasts into the
+        # sums (no (N, 1, H, W) materialization), and the count is the
+        # exact product of the scalar factor sums — a full-slab f32 sum
+        # of ones rounds past 2²⁴ local pixels (review finding).
+        rw = (
+            weights.astype(jnp.float32)
+            if weights is not None
+            else jnp.ones((lab.shape[0],), jnp.float32)
+        )
+        vr = (
+            valid_rows.astype(jnp.float32)
+            if valid_rows is not None
+            else jnp.ones((lab.shape[2],), jnp.float32)
+        )
+        wpx = rw[:, None, None, None] * vr[None, None, :, None]  # (N, 1, H, 1)
+        n = jnp.sum(rw) * jnp.sum(vr) * jnp.float32(lab.shape[3])
         s = jnp.sum(lab_c * wpx, axis=(0, 2, 3))
         sq = jnp.sum(lab_c * lab_c * wpx, axis=(0, 2, 3))
     n = jax.lax.psum(n, axis_name)
@@ -451,6 +461,7 @@ def _transform_runner(
     use_pallas: bool = False,
     weighted: bool = False,
     pixel_axis: str | None = None,
+    h_padded: bool = False,
 ):
     img_spec = PartitionSpec(batch_axis, None, pixel_axis)  # pixel_axis=None ⇒ batch-only
     w_spec = PartitionSpec(batch_axis)
@@ -460,14 +471,15 @@ def _transform_runner(
     # is sharded on; macenko's statistics are per-IMAGE, so they reduce over
     # the pixel axis only — the batch axis holds different images.
     stat_axis = (batch_axis, pixel_axis) if pixel_axis else batch_axis
-    # With a pixel axis, every runner takes a (H_padded,) bool row-validity
-    # vector right after the images (all-True when H divided the axis) —
-    # one signature per (method, weighted) instead of a padded/unpadded
-    # matrix of jit caches. Macenko expands it to the per-pixel ``valid``
-    # mask its sharded transform takes.
+    # When H was padded to the pixel axis (``h_padded``), the runner takes
+    # a (H_padded,) bool row-validity vector right after the images and
+    # runs the masked-statistics bodies; an evenly-dividing H dispatches to
+    # the unmasked bodies instead — the mask multiplies and exclusions are
+    # pure waste there (review finding). Macenko expands the vector to the
+    # per-pixel ``valid`` mask its sharded transform takes.
 
     if method == "reinhard":
-        if pixel_axis and weighted:
+        if pixel_axis and h_padded and weighted:
 
             @jax.jit
             def run(imgs, vr, w, mean, std):
@@ -482,7 +494,7 @@ def _transform_runner(
                 )(imgs, vr, w, mean, std)
 
             return run
-        if pixel_axis:
+        if pixel_axis and h_padded:
 
             @jax.jit
             def run(imgs, vr, mean, std):
@@ -526,7 +538,7 @@ def _transform_runner(
         return run
 
     if method == "macenko":
-        if pixel_axis:
+        if pixel_axis and h_padded:
             # Per-image statistics psum over the pixel shards
             # (macenko_transform_sharded); reconstruction is local. The
             # row-validity vector expands to the (N, H_local, W) mask.
@@ -547,6 +559,21 @@ def _transform_runner(
                     out_specs=img_spec,
                     check_vma=False,
                 )(imgs, vr, he, tmc)
+
+            return run
+        if pixel_axis:
+
+            @jax.jit
+            def run(imgs, he, tmc):
+                return jax.shard_map(
+                    lambda im, h, t: macenko_transform_sharded(
+                        im, h, t, pixel_axis, precision=precision
+                    ),
+                    mesh=mesh,
+                    in_specs=(img_spec, repl, repl),
+                    out_specs=img_spec,
+                    check_vma=False,
+                )(imgs, he, tmc)
 
             return run
 
@@ -572,7 +599,7 @@ def _transform_runner(
     if method == "histogram_matching":
         # Batch-global source CDFs: each shard psums its source histogram
         # over ``stat_axis`` (hm_transform_sharded) for exact batch parity.
-        if pixel_axis and weighted:
+        if pixel_axis and h_padded and weighted:
 
             @jax.jit
             def run(imgs, vr, w, hists):
@@ -587,7 +614,7 @@ def _transform_runner(
                 )(imgs, vr, w, hists)
 
             return run
-        if pixel_axis:
+        if pixel_axis and h_padded:
 
             @jax.jit
             def run(imgs, vr, hists):
@@ -659,18 +686,20 @@ def transform_on_mesh(
     _check_pixel_axis(mesh, pixel_axis, batch_axis)
     h = images.shape[2]
     vr_args = ()
+    h_padded = False
     if pixel_axis is not None:
         px = mesh.shape[pixel_axis]
         h_pad = ((h + px - 1) // px) * px
         if h_pad != h:
+            h_padded = True
             images = jnp.concatenate(
                 [images, jnp.zeros((*images.shape[:2], h_pad - h, images.shape[3]), images.dtype)],
                 axis=2,
             )
-        rows_valid = jnp.arange(h_pad) < h
-        vr_args = (
-            jax.device_put(rows_valid, NamedSharding(mesh, PartitionSpec(pixel_axis))),
-        )
+            rows_valid = jnp.arange(h_pad) < h
+            vr_args = (
+                jax.device_put(rows_valid, NamedSharding(mesh, PartitionSpec(pixel_axis))),
+            )
     padded, weights, n = _pad_to_axis(images, _axis_size(mesh, batch_axis))
     spec = NamedSharding(mesh, PartitionSpec(batch_axis, None, pixel_axis))
     w_sharding = NamedSharding(mesh, PartitionSpec(batch_axis))
@@ -686,6 +715,7 @@ def transform_on_mesh(
         kwargs.get("use_pallas", False),
         weighted,
         pixel_axis,
+        h_padded,
     )
     w_args = vr_args + ((jax.device_put(weights, w_sharding),) if weighted else ())
     replicated = NamedSharding(mesh, PartitionSpec())
@@ -712,7 +742,6 @@ def hm_transform_sharded(
     images_cf, needs_permute = hm_ops._to_channels_first(images, channel_axis)
     was_uint8 = images_cf.dtype == jnp.uint8
     images_u8, needs_scale_back = color.images_to_uint8(images_cf)
-    n, c, h, w = images_u8.shape
 
     counts, valid_px = _local_histogram(images_u8, weights, valid_rows)
     counts = jax.lax.psum(counts, axis_name)

@@ -135,12 +135,15 @@ def hm_transform(images: np.ndarray, ref_hists: list[np.ndarray], channel_axis: 
             alpha = np.where(diff > 1e-10, (source_cdf - q_left) / diff, 0.0).astype(np.float32)
         lut = ref_values[idx - 1] + alpha * (ref_values[idx] - ref_values[idx - 1])
         lut = np.where(source_cdf <= rq[0], ref_values[0], lut)
-        # Structural above-max pin (exact integer form of the reference's
+        # Structural above-max pin (exact occupancy form of the reference's
         # ``source_cdf >= rq[-1]``): exact math has cdf(last occupied
         # bin) = 1 > rq_max < 1, but f32 rounds the compare either way —
-        # see ops/histogram_matching.hm_build_lut.
-        cum = np.cumsum(counts.astype(np.int64))
-        lut = np.where(cum >= flat.size, ref_values[255], lut)
+        # see ops/histogram_matching.hm_build_lut. Bin b pins iff no
+        # occupied bin lies strictly after it (scale-proof: no pixel-count
+        # arithmetic at all).
+        occ = counts > 0
+        occ_after = np.cumsum(occ[::-1])[::-1] - occ.astype(np.int64)
+        lut = np.where(occ_after == 0, ref_values[255], lut)
         lut = np.clip(lut, 0, 255).astype(np.float32)
         out_channels.append(lut[flat.astype(np.int64)].reshape(n, h, w))
     matched = np.stack(out_channels, axis=1)
