@@ -89,3 +89,47 @@ def test_ref_cdf_vals_views(uint8_batch):
     assert norm._reference_histogram.shape == (256,)
     cdf0 = np.asarray(norm._ref_cdf[0])
     assert abs(cdf0[-1] - 1.0) < 1e-5
+
+
+class TestStructuralAboveMaxPin:
+    """The above-max LUT pin is decided by bin occupancy, not the f32
+    ``source_cdf >= ref_q_max`` compare, which flips by an ulp with
+    compilation context (a measured 132-grey knife edge on source-max
+    pixels when the matched reference quantile sits far below 255)."""
+
+    def test_source_max_bin_pins_to_255(self):
+        import jax.numpy as jnp
+
+        from stainx_tpu.ops.histogram_matching import hm_build_lut
+
+        # Source occupies bins 10..155 (1920 px); reference concentrated
+        # in bins 100..124, so the interpolated value at cdf≈1 is ~124 —
+        # far from the 255 the pin must produce at the source max.
+        counts = np.zeros((1, 256), np.float32)
+        counts[0, 10:155] = 13
+        counts[0, 155] = 1920 - 13 * 145
+        assert counts.sum() == 1920
+        ref = np.zeros((1, 256), np.float32)
+        ref[0, 100:125] = 1.0 / 25.0
+        lut = np.asarray(hm_build_lut(jnp.asarray(counts), jnp.asarray(ref), 1920.0))
+        assert lut[0, 155] == 255.0  # last occupied bin pins
+        assert (lut[0, 156:] == 255.0).all()  # everything after pins
+        assert lut[0, 154] < 130.0  # earlier bins interpolate into the ref range
+
+    def test_pin_unaffected_by_total_rounding(self):
+        """A separately-rounded total must not suppress the pin: pass a
+        total an ulp ABOVE the exact count (what an f32 psum of shard
+        counts can produce past 2²⁴ px) — occupancy ignores it."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.ops.histogram_matching import hm_build_lut
+
+        counts = np.zeros((1, 256), np.float32)
+        counts[0, 50] = 1919
+        counts[0, 155] = 1
+        ref = np.zeros((1, 256), np.float32)
+        ref[0, 100:125] = 1.0
+        lut = np.asarray(
+            hm_build_lut(jnp.asarray(counts), jnp.asarray(ref), 1920.0 * (1 + 2e-7))
+        )
+        assert lut[0, 155] == 255.0
