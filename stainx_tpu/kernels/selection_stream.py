@@ -50,7 +50,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from stainx_tpu.kernels import interpret_mode
-from stainx_tpu.kernels.selection import _ikey_view, _insert_sorted, _monotone_key
+from stainx_tpu.kernels.selection import _ikey_view, _insert_sorted, _monotone_key, _unkey
 
 _LANE = 128
 # Python ints (NOT jnp scalars): module-level jnp constants are concrete
@@ -282,11 +282,10 @@ def _stream_kernel(
 
 
 def _f32_from_ik(ik):
-    """Value whose monotone key has signed view ``ik`` (host-side inverse)."""
-    key = ik.astype(jnp.uint32) ^ jnp.uint32(0x80000000)
-    sign = key >> 31
-    flip = jnp.where(sign == 0, jnp.uint32(0xFFFFFFFF), jnp.uint32(0x80000000))
-    return jax.lax.bitcast_convert_type(key ^ flip, jnp.float32)
+    """Value whose monotone key has signed view ``ik`` (host-side inverse):
+    undo the signed view, then the shared key inverse — one definition of
+    the bit flips (``selection._unkey``), not a third copy."""
+    return _unkey(ik.astype(jnp.uint32) ^ jnp.uint32(0x80000000))
 
 
 def _init_keys(init):

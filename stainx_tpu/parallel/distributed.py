@@ -162,27 +162,25 @@ def macenko_fit_sharded(images, axis_name, percentile_levels: int = 0, weights=N
     t0, t1 = macenko_ops._project_plane(od_c, evecs, jnp.float32)
     phi = jnp.arctan2(t1, t0)[0]  # (P_local,)
 
-    # Both φ percentiles in ONE multi-rank chain: each level is a single
-    # (2, 256) psum round instead of two sequential collectives.
+    # Both φ percentiles of the ONE φ field share a single multi-rank
+    # descent: each level is one (1, 2, 256) psum round, and the field is
+    # never duplicated in memory.
     phi_pair = distributed_masked_percentile(
-        jnp.stack([phi, phi]),
-        jnp.stack([mask[0], mask[0]]),
-        (macenko_ops.ALPHA, 100 - macenko_ops.ALPHA),
+        phi[None],
+        mask,
+        ((macenko_ops.ALPHA, 100 - macenko_ops.ALPHA),),
         axis_name,
         levels=percentile_levels,
-    )
+    )[0]
     min_phi, max_phi = phi_pair[0], phi_pair[1]
 
     he = macenko_ops._he_from_phi_extremes(evecs, min_phi[None], max_phi[None])  # (1,3,2)
     c0, c1 = macenko_ops._concentrations_2x2(he, od_c)
 
-    all_mask = (
-        jnp.ones((2, p_local), bool)
-        if valid is None
-        else jnp.concatenate([valid, valid], axis=0)
-    )
+    # mask=None ⇒ all pixels valid (no mask plane materialized).
+    c_mask = None if valid is None else jnp.concatenate([valid, valid], axis=0)
     max_conc = distributed_masked_percentile(
-        jnp.stack([c0[0], c1[0]]), all_mask, (99, 99), axis_name, levels=percentile_levels
+        jnp.stack([c0[0], c1[0]]), c_mask, (99, 99), axis_name, levels=percentile_levels
     )
     return he[0], max_conc
 
@@ -282,21 +280,24 @@ def macenko_transform_sharded(
     t0, t1 = macenko_ops._project_plane(od_c, evecs, jnp.float32)
     phi = jnp.arctan2(t1, t0)  # (N, P_local)
 
-    # Both φ percentiles of every image in ONE 2N-row multi-rank chain:
-    # each of the 4 levels costs a single (2N, 256) psum round.
-    phi2 = jnp.repeat(phi, 2, axis=0)
-    eff2 = jnp.repeat(eff_mask, 2, axis=0)
-    qs = (macenko_ops.ALPHA, 100 - macenko_ops.ALPHA) * n
-    phi_pair = distributed_masked_percentile(phi2, eff2, qs, axis_name)
-    min_phi, max_phi = phi_pair[0::2], phi_pair[1::2]
+    # Both φ percentiles of every image share one multi-rank descent on the
+    # UN-duplicated φ field: each of the 4 levels costs a single
+    # (N, 2, 256) psum round, and no (2N, P_local) copies of the field or
+    # mask are materialized (this path exists because images exceed one
+    # chip's HBM — transient copies cost real row size).
+    qs = ((macenko_ops.ALPHA, 100 - macenko_ops.ALPHA),) * n
+    phi_pair = distributed_masked_percentile(phi, eff_mask, qs, axis_name)  # (N, 2)
+    min_phi, max_phi = phi_pair[:, 0], phi_pair[:, 1]
 
     he = macenko_ops._he_from_phi_extremes(evecs, min_phi, max_phi)  # (N, 3, 2)
     c0, c1 = macenko_ops._concentrations_2x2(he, od_c)  # (N, P_local)
 
     # 99th percentile of each concentration over ALL (valid) pixels
-    # (``macenko.cu:247-251`` ranks over cnt_all = P).
+    # (``macenko.cu:247-251`` ranks over cnt_all = P). c0/c1 are distinct
+    # fields so the 2N rows are genuine, but with no pixel padding the
+    # mask plane is skipped entirely (mask=None).
     c_stack = jnp.concatenate([c0, c1], axis=0)
-    all2 = jnp.concatenate([all_mask, all_mask], axis=0)
+    all2 = None if valid is None else jnp.concatenate([valid, valid], axis=0)
     max_c = distributed_masked_percentile(c_stack, all2, (99,) * (2 * n), axis_name)
     max_c0, max_c1 = max_c[:n], max_c[n:]
 
@@ -463,199 +464,113 @@ def _transform_runner(
     pixel_axis: str | None = None,
     h_padded: bool = False,
 ):
-    img_spec = PartitionSpec(batch_axis, None, pixel_axis)  # pixel_axis=None ⇒ batch-only
-    w_spec = PartitionSpec(batch_axis)
-    vr_spec = PartitionSpec(pixel_axis)
+    """Build (once per distinct configuration) the jitted shard_map runner.
+
+    Positional call order is ``run(imgs, [valid_rows], [weights],
+    *params)`` — the optional mask operands appear iff ``h_padded`` /
+    ``weighted``, in that order, matching ``transform_on_mesh``'s
+    ``w_args`` assembly. One builder assembles specs and keyword routing
+    from the flags, so the mask plumbing cannot drift apart across
+    per-method copies (round-3 review finding).
+
+    ``precision``/``use_pallas`` only reach the macenko bodies, and the
+    PIXEL-sharded statistics paths are XLA-native by design (pallas
+    kernels are not auto-partitionable), so ``use_pallas`` is dead there;
+    ``transform_on_mesh`` normalizes both flags out of the cache key for
+    every combination where they are dead, so no duplicate programs are
+    compiled.
+
+    ``h_padded``: the runner takes a (H_padded,) bool row-validity vector
+    right after the images and runs the masked-statistics bodies; an
+    evenly-dividing H dispatches to the unmasked bodies instead — the
+    mask multiplies and exclusions are pure waste there (review finding).
+    Macenko expands the vector to the per-pixel ``valid`` mask its
+    sharded transform takes.
+    """
+    img_spec = PartitionSpec(batch_axis, None, pixel_axis)  # pixel_axis=None => batch-only
     repl = PartitionSpec()
     # Batch-GLOBAL statistics (reinhard/HM) reduce over every axis the data
     # is sharded on; macenko's statistics are per-IMAGE, so they reduce over
     # the pixel axis only — the batch axis holds different images.
     stat_axis = (batch_axis, pixel_axis) if pixel_axis else batch_axis
-    # When H was padded to the pixel axis (``h_padded``), the runner takes
-    # a (H_padded,) bool row-validity vector right after the images and
-    # runs the masked-statistics bodies; an evenly-dividing H dispatches to
-    # the unmasked bodies instead — the mask multiplies and exclusions are
-    # pure waste there (review finding). Macenko expands the vector to the
-    # per-pixel ``valid`` mask its sharded transform takes.
+
+    mask_specs = []
+    if h_padded:
+        mask_specs.append(PartitionSpec(pixel_axis))
+    if weighted:
+        mask_specs.append(PartitionSpec(batch_axis))
+    n_masks = len(mask_specs)
+
+    def mask_kwargs(masks):
+        kw = {}
+        if h_padded:
+            kw["valid_rows"] = masks[0]
+        if weighted:
+            kw["weights"] = masks[-1]
+        return kw
 
     if method == "reinhard":
-        if pixel_axis and h_padded and weighted:
+        n_params = 2
 
-            @jax.jit
-            def run(imgs, vr, w, mean, std):
-                return jax.shard_map(
-                    lambda im, vl, wl, m, s: reinhard_transform_sharded(
-                        im, m, s, stat_axis, weights=wl, valid_rows=vl
-                    ),
-                    mesh=mesh,
-                    in_specs=(img_spec, vr_spec, w_spec, repl, repl),
-                    out_specs=img_spec,
-                    check_vma=False,
-                )(imgs, vr, w, mean, std)
+        def body(im, masks, params):
+            return reinhard_transform_sharded(
+                im, params[0], params[1], stat_axis, **mask_kwargs(masks)
+            )
 
-            return run
-        if pixel_axis and h_padded:
+    elif method == "histogram_matching":
+        # Batch-global source CDFs: each shard psums its source histogram
+        # over ``stat_axis`` (hm_transform_sharded) for exact batch parity.
+        n_params = 1
 
-            @jax.jit
-            def run(imgs, vr, mean, std):
-                return jax.shard_map(
-                    lambda im, vl, m, s: reinhard_transform_sharded(
-                        im, m, s, stat_axis, valid_rows=vl
-                    ),
-                    mesh=mesh,
-                    in_specs=(img_spec, vr_spec, repl, repl),
-                    out_specs=img_spec,
-                    check_vma=False,
-                )(imgs, vr, mean, std)
+        def body(im, masks, params):
+            return hm_transform_sharded(im, params[0], stat_axis, **mask_kwargs(masks))
 
-            return run
+    elif method == "macenko":
+        n_params = 2
         if weighted:
-
-            @jax.jit
-            def run(imgs, w, mean, std):
-                return jax.shard_map(
-                    lambda im, wl, m, s: reinhard_transform_sharded(
-                        im, m, s, stat_axis, weights=wl
-                    ),
-                    mesh=mesh,
-                    in_specs=(img_spec, w_spec, repl, repl),
-                    out_specs=img_spec,
-                    check_vma=False,
-                )(imgs, w, mean, std)
-
-            return run
-
-        @jax.jit
-        def run(imgs, mean, std):
-            return jax.shard_map(
-                lambda im, m, s: reinhard_transform_sharded(im, m, s, stat_axis),
-                mesh=mesh,
-                in_specs=(img_spec, repl, repl),
-                out_specs=img_spec,
-                check_vma=False,
-            )(imgs, mean, std)
-
-        return run
-
-    if method == "macenko":
-        if pixel_axis and h_padded:
+            raise ValueError(
+                "macenko transforms are per-image; padded batch rows need no "
+                "weights (transform_on_mesh never requests them)."
+            )
+        if pixel_axis:
             # Per-image statistics psum over the pixel shards
             # (macenko_transform_sharded); reconstruction is local. The
             # row-validity vector expands to the (N, H_local, W) mask.
-            @jax.jit
-            def run(imgs, vr, he, tmc):
-                def body(im, vl, h, t):
-                    v = jnp.broadcast_to(
-                        vl[None, :, None], (im.shape[0], im.shape[2], im.shape[3])
+            def body(im, masks, params):
+                kw = {}
+                if h_padded:
+                    kw["valid"] = jnp.broadcast_to(
+                        masks[0][None, :, None], (im.shape[0], im.shape[2], im.shape[3])
                     )
-                    return macenko_transform_sharded(
-                        im, h, t, pixel_axis, precision=precision, valid=v
-                    )
+                return macenko_transform_sharded(
+                    im, params[0], params[1], pixel_axis, precision=precision, **kw
+                )
 
-                return jax.shard_map(
-                    body,
-                    mesh=mesh,
-                    in_specs=(img_spec, vr_spec, repl, repl),
-                    out_specs=img_spec,
-                    check_vma=False,
-                )(imgs, vr, he, tmc)
+        else:
+            # shard_map (not bare GSPMD propagation): Pallas kernels are not
+            # auto-partitionable, so each shard runs the full local
+            # transform — which needs zero communication (per-image op).
+            # Padded rows need no weights either: per-image outputs are
+            # garbage only on the padded rows, which the caller slices off.
+            def body(im, masks, params):
+                return macenko_ops.macenko_transform(
+                    im, params[0], params[1], precision=precision, use_pallas=use_pallas
+                )
 
-            return run
-        if pixel_axis:
+    else:
+        raise ValueError(f"Unknown method '{method}'")
 
-            @jax.jit
-            def run(imgs, he, tmc):
-                return jax.shard_map(
-                    lambda im, h, t: macenko_transform_sharded(
-                        im, h, t, pixel_axis, precision=precision
-                    ),
-                    mesh=mesh,
-                    in_specs=(img_spec, repl, repl),
-                    out_specs=img_spec,
-                    check_vma=False,
-                )(imgs, he, tmc)
+    @jax.jit
+    def run(imgs, *rest):
+        return jax.shard_map(
+            lambda im, *r: body(im, list(r[:n_masks]), list(r[n_masks:])),
+            mesh=mesh,
+            in_specs=(img_spec, *mask_specs, *(repl,) * n_params),
+            out_specs=img_spec,
+            check_vma=False,  # selection while-loop carries defeat VMA inference
+        )(imgs, *rest)
 
-            return run
-
-        # shard_map (not bare GSPMD propagation): Pallas kernels are not
-        # auto-partitionable, so each shard runs the full local transform —
-        # which needs zero communication (per-image op). Padded rows need no
-        # weights either: per-image outputs are garbage only on the padded
-        # rows, which the caller slices off.
-        @jax.jit
-        def run(imgs, he, tmc):
-            return jax.shard_map(
-                lambda im, h, t: macenko_ops.macenko_transform(
-                    im, h, t, precision=precision, use_pallas=use_pallas
-                ),
-                mesh=mesh,
-                in_specs=(img_spec, repl, repl),
-                out_specs=img_spec,
-                check_vma=False,  # selection while-loop carries defeat VMA inference
-            )(imgs, he, tmc)
-
-        return run
-
-    if method == "histogram_matching":
-        # Batch-global source CDFs: each shard psums its source histogram
-        # over ``stat_axis`` (hm_transform_sharded) for exact batch parity.
-        if pixel_axis and h_padded and weighted:
-
-            @jax.jit
-            def run(imgs, vr, w, hists):
-                return jax.shard_map(
-                    lambda im, vl, wl, hs: hm_transform_sharded(
-                        im, hs, stat_axis, weights=wl, valid_rows=vl
-                    ),
-                    mesh=mesh,
-                    in_specs=(img_spec, vr_spec, w_spec, repl),
-                    out_specs=img_spec,
-                    check_vma=False,
-                )(imgs, vr, w, hists)
-
-            return run
-        if pixel_axis and h_padded:
-
-            @jax.jit
-            def run(imgs, vr, hists):
-                return jax.shard_map(
-                    lambda im, vl, hs: hm_transform_sharded(
-                        im, hs, stat_axis, valid_rows=vl
-                    ),
-                    mesh=mesh,
-                    in_specs=(img_spec, vr_spec, repl),
-                    out_specs=img_spec,
-                    check_vma=False,
-                )(imgs, vr, hists)
-
-            return run
-        if weighted:
-
-            @jax.jit
-            def run(imgs, w, hists):
-                return jax.shard_map(
-                    lambda im, wl, hs: hm_transform_sharded(im, hs, stat_axis, weights=wl),
-                    mesh=mesh,
-                    in_specs=(img_spec, w_spec, repl),
-                    out_specs=img_spec,
-                    check_vma=False,
-                )(imgs, w, hists)
-
-            return run
-
-        @jax.jit
-        def run(imgs, hists):
-            return jax.shard_map(
-                lambda im, hs: hm_transform_sharded(im, hs, stat_axis),
-                mesh=mesh,
-                in_specs=(img_spec, repl),
-                out_specs=img_spec,
-                check_vma=False,
-            )(imgs, hists)
-
-        return run
-
-    raise ValueError(f"Unknown method '{method}'")
+    return run
 
 
 def transform_on_mesh(
@@ -679,7 +594,10 @@ def transform_on_mesh(
     every statistic via a sharded row-validity vector, and the output rows
     are sliced back off. Reinhard/HM statistics psum over both axes;
     Macenko routes to :func:`macenko_transform_sharded` (per-image
-    statistics psum over the pixel shards only)."""
+    statistics psum over the pixel shards only). The sharded statistics
+    paths are XLA-native by design — ``use_pallas`` only affects the
+    batch-only Macenko route, where each shard runs the full local
+    (kernel-backed) transform."""
     if method not in _FIT_SHARDED:
         raise ValueError(f"Unknown method '{method}'. Choose from {sorted(_FIT_SHARDED)}")
     images = jnp.asarray(images)
@@ -707,12 +625,21 @@ def transform_on_mesh(
     # Macenko is per-image: padded BATCH rows can't contaminate real outputs
     # (padded pixel rows ride the row-validity vector instead).
     weighted = weights is not None and method != "macenko"
+    # Normalize dead flags out of the cached-runner key: precision/use_pallas
+    # only reach the macenko bodies, and the pixel-sharded macenko
+    # statistics path is XLA-native by design (pallas kernels are not
+    # auto-partitionable) — without this, backend="pallas" would silently
+    # compile a second, bit-identical program per flag value.
+    precision = kwargs.get("precision", "stable") if method == "macenko" else "stable"
+    use_pallas = (
+        kwargs.get("use_pallas", False) if method == "macenko" and pixel_axis is None else False
+    )
     run = _transform_runner(
         method,
         mesh,
         batch_axis,
-        kwargs.get("precision", "stable"),
-        kwargs.get("use_pallas", False),
+        precision,
+        use_pallas,
         weighted,
         pixel_axis,
         h_padded,

@@ -21,11 +21,13 @@ of 1e-30-spaced values) and silently return a clamped wrong rank.
 Key-space levels consume 8 of the key's 32 bits each, so exactness after
 4 levels is structural, for ANY f32 data including ±inf and denormals.
 
-Multiple percentiles of (possibly different) fields evaluate
-**together**: ``x`` may be (K, P_local) with one rank per row, so each
-level costs ONE (K, 256) ``psum`` round instead of K sequential
-collectives — the Macenko fit batches its φ pair and its C0/C1 pair this
-way.
+Multiple percentiles evaluate **together**: ``x`` may be (K, P_local)
+with one rank per row (flat ``q``), or each row may carry M ranks
+(nested ``q``) sharing one descent over the SAME un-duplicated field —
+each level then costs ONE (K, M, 256) ``psum`` round instead of K·M
+sequential collectives. The Macenko fit selects its φ α/100−α pair from
+one φ row this way, and the pixel-sharded transform its per-image φ
+pairs; the C0/C1 99th percentiles are two genuine field rows.
 
 Communication: 1 count psum + 4 × (K×256) int32 psums — independent of
 pixel count, shard count, and data distribution.
@@ -51,7 +53,7 @@ from stainx_tpu.ops.percentile import nearest_rank_index
 
 def distributed_masked_percentile(
     x: jnp.ndarray,
-    mask: jnp.ndarray,
+    mask: jnp.ndarray | None,
     q,
     axis_name,
     levels: int = 0,
@@ -59,58 +61,93 @@ def distributed_masked_percentile(
     """Global nearest-rank percentile(s) of the masked union of every
     shard's ``x``. Call inside ``shard_map``; ``axis_name`` may be one name
     or a tuple. ``x``/``mask`` are local shards, either 1D (one field, one
-    percentile ``q``) or (K, P) with a length-K sequence of percentiles —
-    returning a scalar or a (K,) vector (replicated).
+    percentile ``q``) or (K, P) rows. ``q`` forms:
 
-    ``levels`` is accepted for API compatibility and ignored: the
-    key-space descent always runs exactly four byte levels, after which
-    the result is structurally exact (module docstring).
+    - a scalar (1D ``x``) → scalar result;
+    - a length-K flat sequence, one percentile per row → (K,) result;
+    - a length-K sequence of equal-length-M sequences — M percentiles of
+      EACH row sharing one descent (the per-level collective becomes one
+      (K, M, 256) psum) → (K, M) result. This is how callers select
+      several ranks of the same field without duplicating the field in
+      memory (e.g. the Macenko φ α/100−α pair).
+
+    ``mask=None`` means every element is valid — no mask plane is
+    materialized. ``levels`` is accepted for API compatibility and
+    ignored: the key-space descent always runs exactly four byte levels,
+    after which the result is structurally exact (module docstring).
     """
     del levels
     single = x.ndim == 1
     x2 = (x[None] if single else x).astype(jnp.float32)
-    valid0 = mask[None] if single else mask
-    # Scalars of any integral flavor (int, numpy integer, 99.0) are a single
-    # percentile; only genuine sequences are per-row percentiles.
-    qs = tuple(q) if isinstance(q, (tuple, list)) else (q,)
+    if mask is not None:
+        mask = mask[None] if single else mask
     k_rows = x2.shape[0]
-    if len(qs) != k_rows:
-        raise ValueError(f"{len(qs)} percentiles for {k_rows} rows")
+    # Scalars of any integral flavor (int, numpy integer, 99.0) are a single
+    # percentile; flat sequences are one-per-row; nested sequences are
+    # M-per-row (all rows the same M).
+    if isinstance(q, (tuple, list)) and len(q) and isinstance(q[0], (tuple, list)):
+        qs2 = tuple(tuple(row) for row in q)
+        m_ranks = len(qs2[0])
+        if any(len(row) != m_ranks for row in qs2):
+            raise ValueError("nested q rows must all have the same length")
+        multi = True
+    else:
+        qs = tuple(q) if isinstance(q, (tuple, list)) else (q,)
+        qs2 = tuple((v,) for v in qs)
+        m_ranks = 1
+        multi = False
+    if len(qs2) != k_rows:
+        raise ValueError(f"{len(qs2)} percentile rows for {k_rows} data rows")
 
-    cnt = jax.lax.psum(jnp.sum(valid0, axis=-1, dtype=jnp.int32), axis_name)  # (K,)
-    r0 = jnp.stack([nearest_rank_index(qs[i], cnt[i]) for i in range(k_rows)])
+    if mask is None:
+        local = jnp.full((k_rows,), x2.shape[-1], jnp.int32)
+    else:
+        local = jnp.sum(mask, axis=-1, dtype=jnp.int32)
+    cnt = jax.lax.psum(local, axis_name)  # (K,)
+    r0 = jnp.stack(
+        [
+            jnp.stack([nearest_rank_index(qs2[i][j], cnt[i]) for j in range(m_ranks)])
+            for i in range(k_rows)
+        ]
+    )  # (K, M)
 
     keys = _monotone_key(x2)  # (K, P) uint32, order-isomorphic to the f32s
     bins = jnp.arange(256, dtype=jnp.int32)
+    if mask is None:
+        valid_init = jnp.ones((k_rows, m_ranks, x2.shape[-1]), bool)
+    else:
+        valid_init = jnp.broadcast_to(mask[:, None, :], (k_rows, m_ranks, x2.shape[-1]))
 
     def body(level, state):
-        prefix, r, valid = state
+        prefix, r, valid = state  # (K, M) u32 / (K, M) i32 / (K, M, P) bool
         shift = jnp.uint32(24 - 8 * level)
         byte = (
             jax.lax.shift_right_logical(keys, jnp.broadcast_to(shift, keys.shape))
             & jnp.uint32(255)
-        ).astype(jnp.int32)
-        eq = (byte[:, None, :] == bins[None, :, None]) & valid[:, None, :]
+        ).astype(jnp.int32)  # (K, P), shared by every rank of the row
+        eq = (byte[:, None, None, :] == bins[None, None, :, None]) & valid[:, :, None, :]
         hist = jax.lax.psum(
             jnp.sum(eq, axis=-1, dtype=jnp.int32), axis_name
-        )  # ONE (K, 256) collective per level
+        )  # ONE (K, M, 256) collective per level
         c = jnp.cumsum(hist, axis=-1)
-        bsel = jnp.minimum(jnp.sum((c <= r[:, None]).astype(jnp.int32), -1), 255)
+        bsel = jnp.minimum(jnp.sum((c <= r[..., None]).astype(jnp.int32), -1), 255)
         below = jnp.where(
             bsel > 0,
-            jnp.take_along_axis(c, jnp.maximum(bsel - 1, 0)[:, None], -1)[:, 0],
+            jnp.take_along_axis(c, jnp.maximum(bsel - 1, 0)[..., None], -1)[..., 0],
             0,
         )
         new_prefix = jax.lax.shift_left(prefix, jnp.uint32(8)) | bsel.astype(jnp.uint32)
-        new_valid = valid & (byte == bsel[:, None])
+        new_valid = valid & (byte[:, None, :] == bsel[..., None])
         return new_prefix, r - below, new_valid
 
-    prefix0 = jnp.zeros((k_rows,), jnp.uint32)
-    prefix, _r, _valid = jax.lax.fori_loop(0, 4, body, (prefix0, r0, valid0))
+    prefix0 = jnp.zeros((k_rows, m_ranks), jnp.uint32)
+    prefix, _r, _valid = jax.lax.fori_loop(0, 4, body, (prefix0, r0, valid_init))
 
     # Four byte levels consumed all 32 key bits: the prefix IS the key of
     # the global nearest-rank element.
-    result = _unkey(prefix)
+    result = _unkey(prefix)  # (K, M)
     # Degenerate global cases: no valid values → NaN (caller's contract).
-    result = jnp.where(cnt > 0, result, jnp.float32(jnp.nan))
-    return result[0] if single else result
+    result = jnp.where((cnt > 0)[:, None], result, jnp.float32(jnp.nan))
+    if multi:
+        return result
+    return result[0, 0] if single else result[:, 0]

@@ -143,6 +143,56 @@ class TestDistributedPercentile:
         )(jnp.asarray(x), jnp.asarray(mask))
         np.testing.assert_allclose(float(got), 5.0, rtol=1e-6)
 
+    def test_multi_rank_per_row_matches_flat(self, mesh):
+        """Nested q (M percentiles per row, one shared descent — the form
+        that keeps the pixel-sharded Macenko from duplicating its fields)
+        must agree with per-rank flat calls and with numpy."""
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((2, 8 * 300)).astype(np.float32)
+        mask = rng.random((2, 8 * 300)) < 0.7
+        qrows = ((1, 50, 99), (99, 1, 25))
+
+        def local(xs, ms):
+            return parallel.distributed_masked_percentile(xs, ms, qrows, "batch")
+
+        got = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=jax.sharding.PartitionSpec(None, "batch"),
+                out_specs=jax.sharding.PartitionSpec(),
+                check_vma=False,
+            )
+        )(jnp.asarray(x), jnp.asarray(mask))
+        assert got.shape == (2, 3)
+        for i in range(2):
+            vals = np.sort(x[i][mask[i]])
+            for j, q in enumerate(qrows[i]):
+                expected = vals[static_nearest_rank_index(q, vals.size)]
+                np.testing.assert_allclose(float(got[i, j]), expected, rtol=1e-6)
+
+    def test_mask_none_means_all_valid(self, mesh):
+        """mask=None must match an all-True mask without materializing one."""
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal((2, 8 * 200)).astype(np.float32)
+
+        def local(xs):
+            return parallel.distributed_masked_percentile(xs, None, (25, 75), "batch")
+
+        got = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=jax.sharding.PartitionSpec(None, "batch"),
+                out_specs=jax.sharding.PartitionSpec(),
+                check_vma=False,
+            )
+        )(jnp.asarray(x))
+        for i, q in enumerate((25, 75)):
+            vals = np.sort(x[i])
+            expected = vals[static_nearest_rank_index(q, vals.size)]
+            np.testing.assert_allclose(float(got[i]), expected, rtol=1e-6)
+
 
 class TestShardedFits:
     def test_reinhard_fit_matches_single_device(self, mesh, he_batch):
