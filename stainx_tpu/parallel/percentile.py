@@ -99,24 +99,24 @@ def distributed_masked_percentile(
     if len(qs2) != k_rows:
         raise ValueError(f"{len(qs2)} percentile rows for {k_rows} data rows")
 
+    keys = _monotone_key(x2)  # (K, P) uint32, order-isomorphic to the f32s
+    bins = jnp.arange(256, dtype=jnp.int32)
     if mask is None:
-        local = jnp.full((k_rows,), x2.shape[-1], jnp.int32)
+        # All-valid, derived from the VARYING keys (not jnp.ones/jnp.full):
+        # a device-invariant value fed to psum, or carried against the
+        # loop's device-varying carry output, fails shard_map tracing under
+        # the default check_vma=True (round-3 review finding, reproduced).
+        mask_full = keys == keys
     else:
-        local = jnp.sum(mask, axis=-1, dtype=jnp.int32)
-    cnt = jax.lax.psum(local, axis_name)  # (K,)
+        mask_full = mask
+    cnt = jax.lax.psum(jnp.sum(mask_full, axis=-1, dtype=jnp.int32), axis_name)  # (K,)
     r0 = jnp.stack(
         [
             jnp.stack([nearest_rank_index(qs2[i][j], cnt[i]) for j in range(m_ranks)])
             for i in range(k_rows)
         ]
     )  # (K, M)
-
-    keys = _monotone_key(x2)  # (K, P) uint32, order-isomorphic to the f32s
-    bins = jnp.arange(256, dtype=jnp.int32)
-    if mask is None:
-        valid_init = jnp.ones((k_rows, m_ranks, x2.shape[-1]), bool)
-    else:
-        valid_init = jnp.broadcast_to(mask[:, None, :], (k_rows, m_ranks, x2.shape[-1]))
+    valid_init = jnp.broadcast_to(mask_full[:, None, :], (k_rows, m_ranks, x2.shape[-1]))
 
     def body(level, state):
         prefix, r, valid = state  # (K, M) u32 / (K, M) i32 / (K, M, P) bool

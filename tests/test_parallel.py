@@ -161,7 +161,7 @@ class TestDistributedPercentile:
                 mesh=mesh,
                 in_specs=jax.sharding.PartitionSpec(None, "batch"),
                 out_specs=jax.sharding.PartitionSpec(),
-                check_vma=False,
+                # default check_vma=True: the public API must trace under it
             )
         )(jnp.asarray(x), jnp.asarray(mask))
         assert got.shape == (2, 3)
@@ -185,7 +185,7 @@ class TestDistributedPercentile:
                 mesh=mesh,
                 in_specs=jax.sharding.PartitionSpec(None, "batch"),
                 out_specs=jax.sharding.PartitionSpec(),
-                check_vma=False,
+                # default check_vma=True: the public API must trace under it
             )
         )(jnp.asarray(x))
         for i, q in enumerate((25, 75)):
