@@ -512,6 +512,50 @@ class TestPixelSharded:
             atol=1.0,
         )
 
+    @pytest.mark.parametrize("seed", range(6))
+    def test_randomized_composition_matches_single_device(self, mesh2d, seed):
+        """Randomized (method, N, H, dtype) sweep through transform_on_mesh:
+        guards the single runner builder's mask-operand plumbing (valid_rows
+        before weights) across every flag combination — uneven batches, odd
+        heights, and their composition land on different builder branches,
+        and an arg-order drift would only fail at runtime on the one
+        combination exercising it (round-3 review). Seeds are fixed."""
+        rng = np.random.default_rng(seed + 500)
+        method = ("macenko", "reinhard", "histogram_matching")[seed % 3]
+        n = int(rng.integers(1, 10))  # mesh batch axis is 4 → often uneven
+        h = int(rng.integers(18, 46))  # pixel axis is 2 → odd H pads
+        w = int(rng.integers(18, 46))
+        as_float = bool(rng.integers(0, 2))
+        tiles = [
+            oracle.synthetic_he_tile(h, w, seed=seed * 37 + i, he_scale=1.0 + 0.03 * i)
+            for i in range(n)
+        ]
+        batch = np.concatenate(tiles, axis=0)
+        ref = oracle.synthetic_he_tile(h, w, seed=seed * 37 + 99)
+        if as_float:
+            batch = batch.astype(np.float32) / 255.0
+            ref = ref.astype(np.float32) / 255.0
+
+        if method == "macenko":
+            params = macenko_ops.macenko_fit(jnp.asarray(ref))
+            single = macenko_ops.macenko_transform(jnp.asarray(batch), *params)
+        elif method == "reinhard":
+            params = reinhard_ops.reinhard_fit(jnp.asarray(ref))
+            single = reinhard_ops.reinhard_transform(jnp.asarray(batch), *params)
+        else:
+            params = hm_ops.hm_fit(jnp.asarray(ref))
+            single = hm_ops.hm_transform(jnp.asarray(batch), params)
+
+        out = parallel.transform_on_mesh(method, batch, params, mesh2d, pixel_axis="pixel")
+        assert out.shape == batch.shape and out.dtype == batch.dtype
+        grey = 1.0 / 255.0 if as_float else 1.0
+        np.testing.assert_allclose(
+            np.asarray(out).astype(np.float32),
+            np.asarray(single).astype(np.float32),
+            atol=grey,
+            err_msg=f"{method} n={n} h={h} w={w} float={as_float}",
+        )
+
     def test_pixel_axis_validation_errors(self, mesh2d, he_batch):
         with pytest.raises(ValueError, match="not an axis of the mesh"):
             parallel.transform_on_mesh(
