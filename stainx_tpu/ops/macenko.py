@@ -22,9 +22,10 @@ TPU-first design choices (vs the CUDA structure):
   not the one-pass E[xxᵀ]−μμᵀ formula the reference needs fp64 for
   (``macenko.cu:9-31``) — centering removes the catastrophic cancellation,
   so f32 suffices on TPU where fp64 is emulated/absent.
-- Percentiles use multi-level histogram refinement instead of full
-  O(P log P) sorts — 5× faster than TPU ``top_k``/``sort`` and free of
-  their compile-time k limits (see :mod:`stainx_tpu.ops.percentile`).
+- Percentiles use multi-level radix-interval descent on the monotone
+  integer key view instead of full O(P log P) sorts — 5× faster than TPU
+  ``top_k``/``sort``, bit-exact, and free of their compile-time k limits
+  (see :mod:`stainx_tpu.ops.percentile`).
 - ``precision="fast"`` evaluates the reconstruction in bf16 (the CUDA
   fast path's fp16 role, ``macenko.cu:116-191``) and caps the percentile
   refinement depth; the stain-plane projection, statistics, percentile

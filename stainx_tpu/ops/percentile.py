@@ -6,26 +6,35 @@ and gathering one element (``src/stainx_cuda_torch/csrc/macenko.cu:52-58,
 v5e, ``lax.top_k`` lowers to a sort-like program costing ~23 ms for a
 64×512² batch regardless of k, and XLA's TopK compile aborts above k≈4096.
 
-Selection here is **histogram refinement**: each level bins the surviving
-values into B=16 buckets between per-row [lo, hi) bounds, reduces the
-per-bucket counts (a fused compare-and-reduce — no scatter, no sort),
-descends into the bucket containing the target rank, and repeats until every
-row's bucket holds ≤ 1 element (then a masked min returns **the exact
-element**) or the interval width is below f32 resolution (duplicates — any
-element in the bucket is within one ulp of the true rank value). Two
-accelerations keep full-data passes to a minimum:
+Selection here is **radix-interval descent on the monotone integer key
+view** — the same order-isomorphic f32→int32 mapping every Pallas descent
+in :mod:`stainx_tpu.kernels.selection` and the distributed selection in
+:mod:`stainx_tpu.parallel.percentile` use. Each level splits the surviving
+keys into B=16 buckets of power-of-two width between per-row integer
+[lo, hi] bounds, reduces the per-bucket counts (a fused compare-and-reduce —
+no scatter, no sort), descends into the bucket containing the target rank,
+and repeats until the bucket holds ≤ 1 element or a single key. Integer
+interval arithmetic is exact, so the result is **bit-exact by
+construction** (always an actual element of the data) and the descent is
+bounded: ≤ 8 levels resolve the full 2^32 key space. An earlier value-space
+(f32 interval) form had two silent failure regimes this design removes: a
+row magnitude near FLT_MAX overflowed the interval width to +inf, and any
+huge-magnitude outlier (say 1e30 next to rank elements of order 1) inflated
+its relative width floor past the rank element's quantum — both returned
+the row MINIMUM for every rank. Two accelerations keep full-data passes to
+a minimum:
 
 - the descent is a ``while_loop`` with a data-adaptive trip count, not a
   fixed unroll;
-- for large P, a strided 1/64 **sample** localizes the rank first (6 cheap
+- for large P, a strided 1/64 **sample** localizes the rank first (cheap
   sample-levels), and one full-data pass then counts ``#below`` exactly and
   bins only the candidate interval — the exactness never depends on the
   sample (a 4σ rank margin plus a validity check that falls back to the
   global chain on the rare miss).
 
-Measured on a v5e: ~4.4 ms unsampled / ~2 ms sampled for a 64×512² batch
-vs 22.8 ms for ``top_k`` — in pure jnp, identical math on CPU and TPU. The
-distributed variant of the same scheme lives in
+Measured on a v5e (key-space form): ~4.3 ms unsampled / ~2 ms sampled for a
+64×512² batch vs 22.8 ms for ``top_k`` — in pure jnp, identical math on CPU
+and TPU. The distributed variant of the same scheme lives in
 :mod:`stainx_tpu.parallel.percentile`.
 
 Rank formula (torchstain parity): 0-based index ``round(0.01·q·(n−1))`` with
@@ -41,9 +50,13 @@ import jax
 import jax.numpy as jnp
 
 _B = 16  # buckets per refinement level
-_MAX_LEVELS = 12  # backstop: 16^12 ≈ 2^48-fold reduction
+_MAX_LEVELS = 8  # the full 2^32 key space resolves in ≤ 8 16-ary levels
 _SAMPLE_STRIDE = 64
 _SAMPLE_MIN_P = 1 << 16  # sample-localize only when the last axis is large
+
+_IMAX = (1 << 31) - 1  # int32 max (sentinel for masked mins)
+_IMIN = -(1 << 31)  # int32 min (sentinel for masked maxes)
+_IK_INF = 0x7F800000  # _ikey(+inf): above every finite key
 
 
 def nearest_rank_index(q: int, n: jnp.ndarray) -> jnp.ndarray:
@@ -73,12 +86,42 @@ def static_nearest_rank_index(q: int, n: int) -> int:
     return max(quotient + int(round_up), 0)
 
 
-def _bucket_index(xs, lo, w):
-    """Bucket index in [0, B): elements a float quantum outside the interval
-    clip into the edge buckets — they stay tracked (membership is CARRIED,
-    never re-derived, so bucket-boundary wobble cannot drop elements)."""
-    bf = (xs - lo[..., None]) / w[..., None]
-    return jnp.clip(bf.astype(jnp.int32), 0, _B - 1)
+def _ikey(x: jnp.ndarray) -> jnp.ndarray:
+    """Signed order-isomorphic int32 view of f32: the monotone key of
+    ``kernels/selection.py:_monotone_key`` seen through its signed
+    ``_ikey_view`` fold, composed into one XOR (``bits ^ 0x7FFFFFFF`` for
+    negatives, identity for non-negatives). ik(a) < ik(b) ⇔ a < b, with
+    −0.0 < +0.0 (adjacent keys — rank results are unaffected since both
+    compare equal as floats)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    flip = jnp.where((u >> 31) != 0, jnp.uint32(0x7FFFFFFF), jnp.uint32(0))
+    return jax.lax.bitcast_convert_type(u ^ flip, jnp.int32)
+
+
+def _unkey(ik: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`_ikey` (the XOR is an involution per sign half)."""
+    bits = jnp.where(ik < 0, ik ^ jnp.int32(_IMAX), ik)
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _key_bounds(ik, valid):
+    """Per-row inclusive [lo, hi] key bounds of the valid elements. An empty
+    row yields lo > hi; the descent then counts zero everywhere and resolves
+    to the +inf sentinel on its first iteration."""
+    lo = jnp.min(jnp.where(valid, ik, _IMAX), axis=-1)
+    hi = jnp.max(jnp.where(valid, ik, _IMIN), axis=-1)
+    return lo, hi
+
+
+def _level_shift(d):
+    """Smallest ``s`` with ``d >> s < 16`` (``max(bitlen(d) − 4, 0)``): a
+    branch-free 28-compare bit length on the per-row width scalars. The
+    resulting power-of-two bucket width makes binning a SHIFT — no integer
+    division on the element pass — and strips ≥ 4 key bits per level."""
+    s = jnp.zeros(d.shape, jnp.uint32)
+    for k in range(4, 32):
+        s = s + (d >= jnp.uint32(2**k)).astype(jnp.uint32)
+    return s
 
 
 def _count_bins(bi, valid):
@@ -93,8 +136,12 @@ def _count_bins(bi, valid):
 
 
 def _descend(counts, r):
-    """Pick the bucket containing rank ``r``; return (bsel, r_within, count)."""
+    """Pick the bucket containing rank ``r``; return (bsel, r_within, count).
+    Ranks ≥ the tracked total clamp to the last member — the same
+    out-of-range convention as ``kernels/selection.py`` (an empty tracked
+    set leaves ``r = −1`` selecting empty bucket 0 → the +inf sentinel)."""
     c = jnp.cumsum(counts, -1)
+    r = jnp.minimum(r, c[..., -1] - 1)
     bsel = jnp.minimum(jnp.sum((c <= r[..., None]).astype(jnp.int32), -1), _B - 1)
     below = jnp.where(
         bsel > 0, jnp.take_along_axis(c, jnp.maximum(bsel - 1, 0)[..., None], -1)[..., 0], 0
@@ -103,15 +150,20 @@ def _descend(counts, r):
     return bsel, r - below, sel_count
 
 
-def _refine(xs, valid, lo, hi, r, max_levels: int, scale=None):
-    """While-loop descent: split the tracked element set into 16 buckets,
-    keep the one containing rank ``r``, repeat until each row's bucket holds
-    ≤ 1 element (→ masked min returns the exact element) or is narrower
-    than 1e-7 of the row's value scale (duplicates / near-identical values;
-    any member is then within one f32 quantum of the rank value)."""
-    if scale is None:
-        scale = jnp.maximum(jnp.abs(lo), jnp.abs(hi))
-    width_floor = 1e-7 * jnp.maximum(scale, 1e-30)
+def _refine(ik, valid, lo, hi, r, max_levels: int):
+    """While-loop radix-interval descent on the key view: split the tracked
+    element set into 16 power-of-two-width buckets, keep the one containing
+    rank ``r``, repeat until each row's bucket holds ≤ 1 element or a single
+    key (duplicates). Returns the selected KEY per row (+inf's key for an
+    empty tracked set — rank out of range / fully-masked row — matching the
+    empty-row convention of every kernels/selection.py descent mode, so a
+    degenerate row's result cannot depend on backend or row-size routing).
+
+    All arithmetic is exact int32/uint32: two's-complement wraparound makes
+    ``hi − lo`` and ``ik − lo`` correct through the uint32 view for any key
+    range, so — unlike a float interval descent — there is no overflow,
+    width-floor, or boundary-wobble regime, and ≤ 8 levels always suffice.
+    Tracked membership is CARRIED between levels, never re-derived."""
 
     def cond(state):
         it, all_done = state[-2], state[-1]
@@ -119,36 +171,49 @@ def _refine(xs, valid, lo, hi, r, max_levels: int, scale=None):
 
     def body(state):
         lo, hi, r, valid, it, _ = state
-        w = jnp.maximum((hi - lo) / _B, 1e-37)
-        bi = _bucket_index(xs, lo, w)
+        d = jax.lax.bitcast_convert_type(hi - lo, jnp.uint32)  # exact width
+        s = _level_shift(d)
+        # Tracked offsets are ≤ d < 2^(s+4), so bi ≤ 15 for every tracked
+        # element; untracked elements may produce arbitrary bi — they are
+        # excluded from counts and membership by ``valid``.
+        off = jax.lax.bitcast_convert_type(ik - lo[..., None], jnp.uint32)
+        bi = (off >> s[..., None]).astype(jnp.int32)
         bsel, new_r, sel_count = _descend(_count_bins(bi, valid), r)
         new_valid = valid & (bi == bsel[..., None])
-        new_lo = lo + bsel.astype(jnp.float32) * w
-        new_hi = new_lo + w
-        row_done = (sel_count <= 1) | (new_hi - new_lo <= width_floor)
+        w = jnp.uint32(1) << s
+        step = jax.lax.bitcast_convert_type(bsel.astype(jnp.uint32) * w, jnp.int32)
+        new_lo = lo + step  # true value ∈ [lo, hi]: no signed overflow
+        # Clamp the increment BEFORE adding: the top bucket's new_lo + w − 1
+        # exceeds hi (by up to w−1) and would wrap int32 when hi is near the
+        # key-space top, flipping new_hi negative and ending the row early
+        # (observed: a full-range row returned rank 5 for rank 6). For an
+        # in-range rank the selected bucket is nonempty, so new_lo ≤ hi and
+        # hi − new_lo is exact through the uint32 view; an out-of-range rank
+        # can leave new_lo > hi, but its bucket is then empty and the row is
+        # already done (sel_count = 0) — later garbage intervals only touch
+        # rows whose tracked set is empty.
+        rem = jax.lax.bitcast_convert_type(hi - new_lo, jnp.uint32)
+        inc = jnp.minimum(w - jnp.uint32(1), rem)
+        new_hi = new_lo + jax.lax.bitcast_convert_type(inc, jnp.int32)
+        row_done = (sel_count <= 1) | (new_hi <= new_lo)
         return new_lo, new_hi, new_r, new_valid, it + 1, jnp.all(row_done)
 
     state = (lo, hi, r.astype(jnp.int32), valid, jnp.int32(0), jnp.asarray(False))
     lo, hi, r, valid, _, _ = jax.lax.while_loop(cond, body, state)
-
-    val = jnp.min(jnp.where(valid, xs, jnp.inf), axis=-1)
-    # Degenerate fallback (empty mask / rank out of range): bucket midpoint.
-    return jnp.where(jnp.isfinite(val), val, (lo + hi) * 0.5)
+    return jnp.min(jnp.where(valid, ik, _IK_INF), axis=-1)
 
 
-def _global_bounds(xs, neg_sent):
-    lo = jnp.min(xs, axis=-1)
-    hi = jnp.max(neg_sent, axis=-1).astype(jnp.float32)
-    return lo, hi + jnp.maximum(jnp.abs(hi), 1.0) * 1e-6  # max strictly inside
-
-
-def _sampled_bounds(xs, neg_sent, rank, cnt):
-    """Candidate interval from a strided sample with a 4σ rank margin, plus
-    one exact full-data pass (count-below + interval membership). Inputs are
-    2D (R, P). Returns (lo, hi, r, ok)."""
-    s = xs[:, ::_SAMPLE_STRIDE]
-    s_neg = neg_sent[:, ::_SAMPLE_STRIDE]
-    cnt_s = jnp.sum(jnp.isfinite(s), axis=-1)
+def _sampled_window(ik, valid, rank, cnt):
+    """Candidate key window from a strided sample with a 4σ rank margin,
+    plus one exact full-data pass (count-below + window membership). Inputs
+    are 2D (R, P). Returns ``(k_lo, k_hi, r_local, window, ok)``: inclusive
+    candidate key bounds, the rank offset within the window, the window
+    membership mask, and whether the window provably contains the rank
+    (``ok=False`` rows — a ≳4σ sampling miss or an all-masked sample —
+    restart from the global interval)."""
+    s_ik = ik[:, ::_SAMPLE_STRIDE]
+    s_valid = valid[:, ::_SAMPLE_STRIDE]
+    cnt_s = jnp.sum(s_valid, axis=-1, dtype=jnp.int32)
 
     r_frac = (rank.astype(jnp.float32) + 0.5) / jnp.maximum(cnt.astype(jnp.float32), 1.0)
     mean_s = r_frac * cnt_s.astype(jnp.float32)
@@ -158,36 +223,29 @@ def _sampled_bounds(xs, neg_sent, rank, cnt):
     hi_rank = jnp.clip((mean_s + margin).astype(jnp.int32) + 1, 0, jnp.maximum(cnt_s - 1, 0))
 
     # Both bracketing sample quantiles in one chain (rows stacked).
-    slo, shi = _global_bounds(s, s_neg)
-    n_rows = s.shape[0]
-    stacked = jnp.concatenate([s, s], axis=0)
-    vals = _refine(
-        stacked,
-        jnp.isfinite(stacked),
+    slo, shi = _key_bounds(s_ik, s_valid)
+    n_rows = ik.shape[0]
+    k = _refine(
+        jnp.concatenate([s_ik, s_ik], axis=0),
+        jnp.concatenate([s_valid, s_valid], axis=0),
         jnp.concatenate([slo, slo]),
         jnp.concatenate([shi, shi]),
         jnp.concatenate([lo_rank, hi_rank]),
         _MAX_LEVELS,
     )
-    v_lo = vals[:n_rows]
-    v_hi = vals[n_rows:]
-    v_hi = v_hi + jnp.maximum(jnp.abs(v_hi), 1.0) * 1e-6
+    k_lo = k[:n_rows]
+    k_hi = k[n_rows:]
 
     # Exact repair over the FULL data: membership in the candidate window
     # becomes the refine's tracked set, and the rank offset is counted
     # against exactly that set — the sample only localizes, never decides.
-    # The same traversal also computes the global bounds so that a row whose
-    # window misses its rank (≳4σ sampling miss) simply restarts from the
-    # global interval — per-row state blending instead of a second compiled
-    # refine instance.
-    finite = jnp.isfinite(xs)
-    below = (xs < v_lo[..., None]) & finite
-    window = finite & jnp.logical_not(below) & (xs < v_hi[..., None])
+    below = valid & (ik < k_lo[..., None])
+    window = valid & jnp.logical_not(below) & (ik <= k_hi[..., None])
     n_below = jnp.sum(below, axis=-1, dtype=jnp.int32)
     n_inside = jnp.sum(window, axis=-1, dtype=jnp.int32)
     r_local = rank.astype(jnp.int32) - n_below
-    ok = (r_local >= 0) & (r_local < n_inside) & jnp.isfinite(v_lo) & (v_hi > v_lo)
-    return v_lo, v_hi, r_local, window, finite, ok
+    ok = (r_local >= 0) & (r_local < n_inside) & (k_lo <= k_hi) & (k_hi < _IK_INF)
+    return k_lo, k_hi, r_local, window, ok
 
 
 def kth_smallest(
@@ -200,46 +258,48 @@ def kth_smallest(
 ) -> jnp.ndarray:
     """Value of 0-based ascending ``rank`` along the last axis among the
     ``mask``-valid elements of ``x``. ``rank`` may be traced (any value in
-    [0, cnt)). Returns an actual element of the data — bit-exact whenever the
-    converged bucket is unique, within one f32 ulp when duplicates collide.
+    [0, cnt)). Returns an actual element of the data — bit-exact always
+    (integer key-space descent; duplicates cannot blur the result).
 
     ``levels`` caps the descent depth (lower caps trade exactness for
-    passes — ``precision="fast"`` uses 4). ``sample`` enables the strided
-    warm start (default: on when the last axis ≥ 2^16).
+    passes — ``precision="fast"`` uses 4; ≥ 8 is always exact). ``sample``
+    enables the strided warm start (default: on when the last axis ≥ 2^16).
+    Degenerate rows (no valid elements) resolve to +inf, the convention
+    shared with every :mod:`stainx_tpu.kernels.selection` mode.
     """
-    xs = jnp.where(mask, x, jnp.inf).astype(jnp.float32) if mask is not None else x.astype(jnp.float32)
-    neg_sent = (jnp.where(mask, x, -jnp.inf) if mask is not None else x).astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    valid = jnp.isfinite(xf) if mask is None else mask & jnp.isfinite(xf)
+    # Invalid elements all collapse to the +inf sentinel key — above every
+    # valid key, outside every descent interval.
+    ik = _ikey(jnp.where(valid, xf, jnp.inf))
     rank = rank.astype(jnp.int32)
 
     if sample is None:
         sample = x.shape[-1] >= _SAMPLE_MIN_P
     if not sample:
-        lo, hi = _global_bounds(xs, neg_sent)
-        return _refine(xs, jnp.isfinite(xs), lo, hi, rank, levels)
+        lo, hi = _key_bounds(ik, valid)
+        return _unkey(_refine(ik, valid, lo, hi, rank, levels))
 
     # Sampled path: normalize to 2D (rows, P).
     lead = x.shape[:-1]
     p = x.shape[-1]
-    xs2 = xs.reshape(-1, p)
-    neg2 = neg_sent.reshape(-1, p)
+    ik2 = ik.reshape(-1, p)
+    valid2 = valid.reshape(-1, p)
     rank2 = rank.reshape(-1)
     if cnt is None:
-        cnt2 = jnp.sum(jnp.isfinite(xs2), axis=-1) if mask is not None else jnp.full((xs2.shape[0],), p)
+        cnt2 = jnp.sum(valid2, axis=-1) if mask is not None else jnp.full((ik2.shape[0],), p)
     else:
         cnt2 = cnt.reshape(-1)
 
-    v_lo, v_hi, r_local, window, finite, ok = _sampled_bounds(xs2, neg2, rank2, cnt2)
+    k_lo, k_hi, r_local, window, ok = _sampled_window(ik2, valid2, rank2, cnt2)
 
-    g_lo, g_hi = _global_bounds(xs2, neg2)
-    lo0 = jnp.where(ok, v_lo, g_lo)
-    hi0 = jnp.where(ok, v_hi, g_hi)
+    g_lo, g_hi = _key_bounds(ik2, valid2)
+    lo0 = jnp.where(ok, k_lo, g_lo)
+    hi0 = jnp.where(ok, k_hi, g_hi)
     r0 = jnp.where(ok, r_local, rank2)
-    valid0 = jnp.where(ok[..., None], window, finite)
+    valid0 = jnp.where(ok[..., None], window, valid2)
 
-    # Termination scale from the GLOBAL bounds — localized windows are
-    # narrow and would otherwise over-deepen the descent.
-    scale = jnp.maximum(jnp.abs(g_lo), jnp.abs(g_hi))
-    return _refine(xs2, valid0, lo0, hi0, r0, levels, scale=scale).reshape(lead)
+    return _unkey(_refine(ik2, valid0, lo0, hi0, r0, levels)).reshape(lead)
 
 
 def masked_nearest_rank_percentile(
