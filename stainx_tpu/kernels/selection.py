@@ -527,7 +527,13 @@ def radix_descend_multi(selects, mode: str | None = None):
             k0 = jnp.clip(jpred - 2, jlo, jnp.maximum(jlo, jhi - 3))
 
             member_ge = igroup >= ibase  # shared lower bound, one pass
-            le = [igroup <= ibase + (k0 + m) for m in range(4)]
+            # Probe offsets clamp at 15 (the ikdep top() saturation, in
+            # group-id space): k0+m can overshoot to 18, and at a full
+            # prefix (e.g. NaN-group keys at it=7) base+16 would wrap
+            # uint32 and flip the signed order. A clamped threshold counts
+            # the whole group — exact, because the rank always lies inside
+            # the group, so an overshoot bucket is never selected.
+            le = [igroup <= ibase + jnp.minimum(k0 + m, 15) for m in range(4)]
             t = [jnp.sum((member_ge & le[m]).astype(jnp.int32)) for m in range(4)]
 
             if mode in ("spec6", "spec4"):

@@ -223,6 +223,30 @@ class TestSelectionKernel:
                 expected = valid[min(r, len(valid) - 1)] if len(valid) else np.inf
                 assert float(val) == expected, (mode, r)
 
+    @pytest.mark.parametrize("mode", ["dep", "spec6", "spec4", "nocon", "defer"])
+    def test_top_of_keyspace_group_no_probe_wrap(self, mode):
+        """Keys 0xFFFFFFFD/E/F (NaN-group) with duplicates: the common-prefix
+        skip lands the descent at it=7 with a full 28-bit prefix and
+        jlo=13, so interpolated probes overshoot to nibble 16 — ``base+16``
+        wraps uint32 there and (pre-fix) flipped the signed compare, zeroing
+        t[3] and corrupting every later count. Probe offsets now clamp at
+        nibble 15 (exact: the rank always lies inside the group)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.selection import radix_select_multi
+
+        keys = np.full(1024, 0xFFFFFFFD, np.uint32)
+        keys[500] = np.uint32(0xFFFFFFFE)
+        keys[700] = np.uint32(0xFFFFFFFF)
+        payload = np.arange(1024, dtype=np.float32)
+        key = jnp.asarray(keys.reshape(8, 128))
+        fields = (jnp.asarray(payload.reshape(8, 128)),)
+        sels = [(key, jnp.int32(r), fields) for r in (0, 1021, 1022, 1023)]
+        got = radix_select_multi(sels, mode=mode)
+        # rank 0..1021 → the FD cluster (min linear index 0 supplies the
+        # field), 1022 → the FE element, 1023 → the FF element.
+        assert [float(v[0]) for v in got] == [0.0, 0.0, 500.0, 700.0]
+
     def test_multi_field_member_read_single_pixel(self):
         """The non-keyed field-read path (no in-tree kernel uses it since
         the φ selects went keyed, but it is public API): every requested
