@@ -92,7 +92,14 @@ def _ikey(x: jnp.ndarray) -> jnp.ndarray:
     ``_ikey_view`` fold, composed into one XOR (``bits ^ 0x7FFFFFFF`` for
     negatives, identity for non-negatives). ik(a) < ik(b) ⇔ a < b, with
     −0.0 < +0.0 (adjacent keys — rank results are unaffected since both
-    compare equal as floats)."""
+    compare equal as floats).
+
+    Deliberately NOT imported from :mod:`stainx_tpu.kernels.selection`:
+    this module is the pure-jnp twin that must import (and run) when the
+    pallas package itself is unavailable, so it cannot depend on the
+    kernels package. ``tests/test_percentile_unit.py`` pins the three
+    definitions (here, ``kernels/selection.py``,
+    ``kernels/selection_stream.py``) bit-identical against drift."""
     u = jax.lax.bitcast_convert_type(x, jnp.uint32)
     flip = jnp.where((u >> 31) != 0, jnp.uint32(0x7FFFFFFF), jnp.uint32(0))
     return jax.lax.bitcast_convert_type(u ^ flip, jnp.int32)
@@ -287,7 +294,11 @@ def kth_smallest(
     valid2 = valid.reshape(-1, p)
     rank2 = rank.reshape(-1)
     if cnt is None:
-        cnt2 = jnp.sum(valid2, axis=-1) if mask is not None else jnp.full((ik2.shape[0],), p)
+        # Count VALID elements even when mask is None: non-finite data is
+        # excluded from ``valid``, and a cnt of plain P would skew the
+        # sample's rank-fraction estimate, silently defeating the warm
+        # start (the ok-fallback keeps exactness, not speed).
+        cnt2 = jnp.sum(valid2, axis=-1, dtype=jnp.int32)
     else:
         cnt2 = cnt.reshape(-1)
 

@@ -161,3 +161,28 @@ class TestKthSmallestEdgeRegimes:
     def test_percentile_all_static(self):
         x = jnp.asarray(np.arange(101, dtype=np.float32)[None])
         assert np.asarray(percentile_all(x, 99))[0] == 99.0
+
+
+def test_key_definitions_pinned_across_modules():
+    """ops/percentile.py deliberately re-derives the monotone key bit flips
+    (it must import without the kernels package); this pins its fused-XOR
+    forms bit-identical to kernels/selection.py's two-step forms and
+    kernels/selection_stream.py's scalar inverse, so the three definitions
+    cannot drift apart."""
+    kernels = pytest.importorskip("stainx_tpu.kernels.selection")
+    stream = pytest.importorskip("stainx_tpu.kernels.selection_stream")
+    from stainx_tpu.ops import percentile as pct
+
+    vals = np.array(
+        [0.0, -0.0, 1.0, -1.0, 3.4028235e38, -3.4028235e38, 1e-45, -1e-45,
+         np.inf, -np.inf, 0.5, -2.75],
+        np.float32,
+    )
+    x = jnp.asarray(vals)
+    ik_ops = np.asarray(pct._ikey(x))
+    ik_kern = np.asarray(kernels._ikey_view(kernels._monotone_key(x)))
+    assert (ik_ops == ik_kern).all()
+    back_ops = np.asarray(pct._unkey(jnp.asarray(ik_ops)))
+    back_stream = np.asarray(stream._f32_from_ik(jnp.asarray(ik_ops)))
+    assert back_ops.tobytes() == vals.tobytes()
+    assert back_stream.tobytes() == vals.tobytes()
