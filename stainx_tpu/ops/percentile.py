@@ -161,10 +161,13 @@ def _refine(ik, valid, lo, hi, r, max_levels: int):
     """While-loop radix-interval descent on the key view: split the tracked
     element set into 16 power-of-two-width buckets, keep the one containing
     rank ``r``, repeat until each row's bucket holds ≤ 1 element or a single
-    key (duplicates). Returns the selected KEY per row (+inf's key for an
-    empty tracked set — rank out of range / fully-masked row — matching the
-    empty-row convention of every kernels/selection.py descent mode, so a
-    degenerate row's result cannot depend on backend or row-size routing).
+    key (duplicates). Returns the selected KEY per row. Degenerate rows
+    follow the kernels/selection.py conventions (so a degenerate row's
+    result cannot depend on backend or row-size routing): a rank past the
+    tracked count clamps to the LAST tracked member (``_descend`` caps
+    ``r`` at ``count − 1`` → the max element; pinned by
+    test_out_of_range_rank_clamps_to_max), and only an EMPTY tracked set
+    (fully-masked row) returns the +inf sentinel.
 
     All arithmetic is exact int32/uint32: two's-complement wraparound makes
     ``hi − lo`` and ``ik − lo`` correct through the uint32 view for any key
@@ -193,12 +196,12 @@ def _refine(ik, valid, lo, hi, r, max_levels: int):
         # Clamp the increment BEFORE adding: the top bucket's new_lo + w − 1
         # exceeds hi (by up to w−1) and would wrap int32 when hi is near the
         # key-space top, flipping new_hi negative and ending the row early
-        # (observed: a full-range row returned rank 5 for rank 6). For an
-        # in-range rank the selected bucket is nonempty, so new_lo ≤ hi and
-        # hi − new_lo is exact through the uint32 view; an out-of-range rank
-        # can leave new_lo > hi, but its bucket is then empty and the row is
-        # already done (sel_count = 0) — later garbage intervals only touch
-        # rows whose tracked set is empty.
+        # (observed: a full-range row returned rank 5 for rank 6). new_lo
+        # itself never exceeds hi: ``_descend`` clamps the rank into the
+        # tracked set, so a nonempty row's selected bucket contains a real
+        # value ∈ [lo, hi], and an empty row selects bucket 0 (step = 0,
+        # new_lo = lo). hi − new_lo is therefore exact through the uint32
+        # view on every row.
         rem = jax.lax.bitcast_convert_type(hi - new_lo, jnp.uint32)
         inc = jnp.minimum(w - jnp.uint32(1), rem)
         new_hi = new_lo + jax.lax.bitcast_convert_type(inc, jnp.int32)

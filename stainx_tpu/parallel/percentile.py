@@ -67,9 +67,10 @@ def distributed_masked_percentile(
     - a length-K flat sequence, one percentile per row → (K,) result;
     - a length-K sequence of equal-length-M sequences — M percentiles of
       EACH row sharing one descent (the per-level collective becomes one
-      (K, M, 256) psum) → (K, M) result. This is how callers select
-      several ranks of the same field without duplicating the field in
-      memory (e.g. the Macenko φ α/100−α pair).
+      (K, M, 256) psum) → (K, M) result, or (M,) when ``x`` is 1D with a
+      single nested row. This is how callers select several ranks of the
+      same field without duplicating the field in memory (e.g. the
+      Macenko φ α/100−α pair).
 
     ``mask=None`` means every element is valid — no mask plane is
     materialized. ``levels`` is accepted for API compatibility and
@@ -116,16 +117,26 @@ def distributed_masked_percentile(
             for i in range(k_rows)
         ]
     )  # (K, M)
-    valid_init = jnp.broadcast_to(mask_full[:, None, :], (k_rows, m_ranks, x2.shape[-1]))
-
     def body(level, state):
-        prefix, r, valid = state  # (K, M) u32 / (K, M) i32 / (K, M, P) bool
-        shift = jnp.uint32(24 - 8 * level)
+        # Carry is O(K·M): the LEFT-ALIGNED key prefix (top 8·level bits
+        # chosen so far, lower bits zero) and the residual rank. Survivor
+        # membership is re-derived from the prefix each level — survivor ⇔
+        # the element's top 8·level key bits equal the prefix (AND the
+        # caller's mask) — so no (K, M, P) plane is ever carried between
+        # levels; the per-level compare fuses into the histogram reduce.
+        prefix, r = state  # (K, M) u32 / (K, M) i32
+        hi_mask = ~jax.lax.shift_right_logical(
+            jnp.uint32(0xFFFFFFFF), (8 * level).astype(jnp.uint32)
+        )  # top 8·level bits (all-zero at level 0 → every element survives)
+        survivor = (keys & hi_mask)[:, None, :] == prefix[..., None]  # (K, M, P)
+        if mask is not None:
+            survivor = survivor & mask_full[:, None, :]
+        shift = (24 - 8 * level).astype(jnp.uint32)
         byte = (
             jax.lax.shift_right_logical(keys, jnp.broadcast_to(shift, keys.shape))
             & jnp.uint32(255)
         ).astype(jnp.int32)  # (K, P), shared by every rank of the row
-        eq = (byte[:, None, None, :] == bins[None, None, :, None]) & valid[:, :, None, :]
+        eq = (byte[:, None, None, :] == bins[None, None, :, None]) & survivor[:, :, None, :]
         hist = jax.lax.psum(
             jnp.sum(eq, axis=-1, dtype=jnp.int32), axis_name
         )  # ONE (K, M, 256) collective per level
@@ -136,12 +147,11 @@ def distributed_masked_percentile(
             jnp.take_along_axis(c, jnp.maximum(bsel - 1, 0)[..., None], -1)[..., 0],
             0,
         )
-        new_prefix = jax.lax.shift_left(prefix, jnp.uint32(8)) | bsel.astype(jnp.uint32)
-        new_valid = valid & (byte[:, None, :] == bsel[..., None])
-        return new_prefix, r - below, new_valid
+        new_prefix = prefix | jax.lax.shift_left(bsel.astype(jnp.uint32), shift)
+        return new_prefix, r - below
 
     prefix0 = jnp.zeros((k_rows, m_ranks), jnp.uint32)
-    prefix, _r, _valid = jax.lax.fori_loop(0, 4, body, (prefix0, r0, valid_init))
+    prefix, _r = jax.lax.fori_loop(0, 4, body, (prefix0, r0))
 
     # Four byte levels consumed all 32 key bits: the prefix IS the key of
     # the global nearest-rank element.
@@ -149,5 +159,5 @@ def distributed_masked_percentile(
     # Degenerate global cases: no valid values → NaN (caller's contract).
     result = jnp.where((cnt > 0)[:, None], result, jnp.float32(jnp.nan))
     if multi:
-        return result
+        return result[0] if single else result
     return result[0, 0] if single else result[:, 0]

@@ -171,6 +171,30 @@ class TestDistributedPercentile:
                 expected = vals[static_nearest_rank_index(q, vals.size)]
                 np.testing.assert_allclose(float(got[i, j]), expected, rtol=1e-6)
 
+    def test_nested_q_on_1d_x_returns_flat_m(self, mesh):
+        """1D x with one nested-q row must squeeze the row axis: (M,), not
+        (1, M) — so ``lo, hi = result`` unpacks per-percentile scalars
+        (round-3 review finding)."""
+        rng = np.random.default_rng(13)
+        x = rng.standard_normal(8 * 250).astype(np.float32)
+
+        def local(xs):
+            return parallel.distributed_masked_percentile(xs, None, ((1, 99),), "batch")
+
+        got = jax.jit(
+            jax.shard_map(
+                local,
+                mesh=mesh,
+                in_specs=jax.sharding.PartitionSpec("batch"),
+                out_specs=jax.sharding.PartitionSpec(),
+            )
+        )(jnp.asarray(x))
+        assert got.shape == (2,)
+        vals = np.sort(x)
+        for j, q in enumerate((1, 99)):
+            expected = vals[static_nearest_rank_index(q, vals.size)]
+            np.testing.assert_allclose(float(got[j]), expected, rtol=1e-6)
+
     def test_mask_none_means_all_valid(self, mesh):
         """mask=None must match an all-True mask without materializing one."""
         rng = np.random.default_rng(11)
