@@ -70,7 +70,9 @@ struct Pipe {
             }
             Slot& slot = slots[task.slot];
             bool ok = false;
-            if (task.offset + task.length <= slot_bytes) {
+            // Subtract-form bound: `offset + length` can wrap size_t for
+            // garbage inputs, turning the range check into an OOB write.
+            if (task.length <= slot_bytes && task.offset <= slot_bytes - task.length) {
                 FILE* f = std::fopen(task.path.c_str(), "rb");
                 if (f) {
                     size_t got = std::fread(slot.data + task.offset, 1, task.length, f);
