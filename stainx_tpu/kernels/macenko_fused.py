@@ -126,12 +126,20 @@ def _eigh3_top2_scalars(a00, a01, a02, a11, a12, a22):
     return v00, v10, v20, v01, v11, v21
 
 
-def _od_planes(x_ref, is_uint8: bool):
+def _od_from_planes(planes, is_uint8: bool):
+    """OD of three raw channel planes — THE in-kernel OD definition
+    (``ops.macenko.optical_density`` is the jnp-level twin; uint8 hops
+    through int32, a Mosaic cast constraint). Shared with the streaming
+    kernel so the formula cannot drift between backends."""
     if is_uint8:
-        planes = [x_ref[0, c].astype(jnp.int32).astype(jnp.float32) for c in range(3)]
-        return [-jnp.log((p + 1.0) / _IO) for p in planes]
-    planes = [x_ref[0, c].astype(jnp.float32) for c in range(3)]
-    return [-jnp.log((p * 255.0 + 1.0) / _IO) for p in planes]
+        ps = [p.astype(jnp.int32).astype(jnp.float32) for p in planes]
+        return [-jnp.log((p + 1.0) / _IO) for p in ps]
+    ps = [p.astype(jnp.float32) for p in planes]
+    return [-jnp.log((p * 255.0 + 1.0) / _IO) for p in ps]
+
+
+def _od_planes(x_ref, is_uint8: bool):
+    return _od_from_planes([x_ref[0, c] for c in range(3)], is_uint8)
 
 
 def _pseudo_angle(t0, t1):

@@ -39,8 +39,14 @@ way, so results stay bit-exact.
 The
 math is the mega kernel's exactly (same OD formula, diamond-angle
 selection with keyed scalar reads, sign-preserving maxC guard, same
-reconstruct emit), so results match the mega kernel bit-for-bit wherever
-both run, and the oracle gates are shared. Counterpart of the
+reconstruct emit). Results are NOT bit-identical to the mega kernel:
+the chunk-sequential moment accumulation (Kahan-compensated, see
+``moments_body``) orders its f32 additions differently from the
+resident kernel's whole-row reduces, so the eigenbasis — and through
+it the selected percentiles — can differ by accumulation-order ulps.
+The parity contract is ≤ 1 grey level on the output
+(``tests/test_kernels.py::TestMacenkoStream``), and the oracle gates
+are shared. Counterpart of the
 reference's per-image pipeline (``torch_backend.py:399-461``) and the
 CUDA sort machinery (``stainx_cuda_torch/csrc/macenko.cu:209-251``) at
 sizes neither supports in one device pass.
@@ -61,6 +67,7 @@ from stainx_tpu.kernels.macenko_fused import (
     _IO,
     _dir_from_pseudo,
     _eigh3_top2_scalars,
+    _od_from_planes,
     _pseudo_angle,
 )
 from stainx_tpu.kernels.selection import _f32_from_ik_scalar, _ikey_view, _monotone_key
@@ -70,11 +77,12 @@ from stainx_tpu.kernels.selection_stream import (
     _NS,
     _cuts,
     _descend_step,
-    _sweep_masks,
+    accumulate_sweep,
     stream_max_sweeps,
+    sweep_acc_init,
+    sweep_acc_width,
 )
 
-_LANE = 128
 _SUB = 32
 _CK = 2048  # chunk lanes: 64 K px per chunk, 64 KB uint8 per channel buffer
 # Ladder width. The mega kernel's sweeps are COMPUTE-bound (~10× the
@@ -86,16 +94,6 @@ _CK = 2048  # chunk lanes: 64 K px per chunk, 64 KB uint8 per channel buffer
 # the same race repeated on its DMA-heavier key-chunk sweeps.
 _N_CUTS = 6
 _MAX_SWEEPS = stream_max_sweeps(_N_CUTS)
-
-
-def _od_from_chunk(planes, is_uint8: bool):
-    """Three (32, CK) chunk planes → OD planes; the mega kernel's formula
-    (``macenko_fused._od_planes``) on a chunk."""
-    if is_uint8:
-        ps = [p.astype(jnp.int32).astype(jnp.float32) for p in planes]
-        return [-jnp.log((p + 1.0) / _IO) for p in ps]
-    ps = [p.astype(jnp.float32) for p in planes]
-    return [-jnp.log((p * 255.0 + 1.0) / _IO) for p in ps]
 
 
 def _stream_mega_kernel(
@@ -151,7 +149,7 @@ def _stream_mega_kernel(
                 start_in((t + 1) % 2, t + 1)
 
             wait_in(slot, t)
-            od = _od_from_chunk(chunk_planes(slot), is_uint8)
+            od = _od_from_planes(chunk_planes(slot), is_uint8)
             return body(t, acc, od, valid_mask(t))
 
         start_in(0, 0)
@@ -161,18 +159,19 @@ def _stream_mega_kernel(
     # (the <3-px fallback needs the all-pixel set; at 1/~16 passes the 10
     # extra reduces are noise, unlike in the resident mega kernel where the
     # rarely-taken lax.cond measured faster)
+    # Accumulator layout per mask set: [count(int32), 9 sums(f32),
+    # 9 Kahan compensations(f32)] — 19 scalars, two sets (β-masked, all).
+    _NM = 19
+
     def moments_body(_t, acc, od, valid):
         od_min = jnp.minimum(jnp.minimum(od[0], od[1]), od[2])
         bmask = (od_min >= _BETA) & valid
         y = [o - 1.0 for o in od]  # centered (cov is center-invariant)
-        out = []
-        for w_mask in (bmask, valid):
+        new_acc = []
+        for si, w_mask in enumerate((bmask, valid)):
+            base = _NM * si
             w = w_mask.astype(jnp.float32)
-            out += [
-                # Count in int32: it feeds nearest-rank indices, and an f32
-                # running sum loses integer exactness past 2^24 — exactly
-                # the >16.7M-px rows this kernel exists for (4096²+).
-                jnp.sum(w_mask.astype(jnp.int32)),
+            part = [  # this chunk's 9 f32 moment partials
                 jnp.sum(w * y[0]),
                 jnp.sum(w * y[1]),
                 jnp.sum(w * y[2]),
@@ -183,14 +182,33 @@ def _stream_mega_kernel(
                 jnp.sum(w * y[1] * y[2]),
                 jnp.sum(w * y[2] * y[2]),
             ]
-        return tuple(a + o for a, o in zip(acc, out))
+            # Count in int32: it feeds nearest-rank indices, and an f32
+            # running sum loses integer exactness past 2^24 — exactly
+            # the >16.7M-px rows this kernel exists for (4096²+).
+            new_acc.append(acc[base] + jnp.sum(w_mask.astype(jnp.int32)))
+            # Kahan-compensated f32 sums: a plain sequential fold's error
+            # grows ~linearly with chunk count (~17 000 chunks at the 33k²
+            # HBM ceiling → up to ~1e-3 relative in the centered second
+            # moments, enough to move the eigenbasis), while compensation
+            # bounds it at O(1) ulps for any chunk count (round-3 review
+            # finding). XLA does not reassociate floats, so the
+            # compensation survives compilation.
+            sums, comps = [], []
+            for k in range(9):
+                s, comp = acc[base + 1 + k], acc[base + 10 + k]
+                yk = part[k] - comp
+                t_new = s + yk
+                comps.append((t_new - s) - yk)
+                sums.append(t_new)
+            new_acc.extend(sums + comps)
+        return tuple(new_acc)
 
     zf, zi = jnp.float32(0.0), jnp.int32(0)
-    m = streamed(moments_body, (zi,) + (zf,) * 9 + (zi,) + (zf,) * 9)
+    m = streamed(moments_body, ((zi,) + (zf,) * 18) * 2)
     use_all = m[0] < 3
-    cnt_i32 = jnp.where(use_all, m[10], m[0])
+    cnt_i32 = jnp.where(use_all, m[_NM], m[0])
     s0, s1_, s2_, xx, xy, xz, yy, yz, zz = (
-        jnp.where(use_all, m[10 + k], m[k]) for k in range(1, 10)
+        jnp.where(use_all, m[_NM + k], m[k]) for k in range(1, 10)
     )
     cnt = cnt_i32.astype(jnp.float32)
 
@@ -216,10 +234,11 @@ def _stream_mega_kernel(
     # and the field recompute is ~40% of a sweep's per-element work). The
     # cut/count/step sequence is IDENTICAL to the recompute form — cached
     # keys are the written values — so results are bit-exact either way.
-    # _NS (imported): scalars of while-carry per descent — the state width
-    # _descend_step produces; slicing with a local copy could silently
-    # desync if selection_stream ever grows the carry (review finding).
-    _NA = _N_CUTS + 3  # accumulators per descent: counts + top + min + max
+    # _NS / sweep_acc_width / accumulate_sweep (imported): the while-carry
+    # and sweep-accumulator layouts are owned by selection_stream — local
+    # copies of either could silently desync if it ever grows them
+    # (round-3 review findings, both directions).
+    _NA = sweep_acc_width(_N_CUTS)
 
     def run_descents(field_fns, descents):
         """``field_fns``: (od, valid) → signed-key chunk view, computed
@@ -234,25 +253,19 @@ def _stream_mega_kernel(
         def count_all(iks, per_d, all_cuts, acc):
             new_acc = []
             for d, (fi, _r) in enumerate(descents):
-                a = acc[_NA * d : _NA * (d + 1)]
-                cnt_, gmin, gmax = _sweep_masks(
-                    iks[fi], per_d[d][0], per_d[d][1], all_cuts[d]
-                )
                 new_acc.extend(
-                    [a[mm] + cnt_[mm] for mm in range(_N_CUTS + 1)]
-                    + [
-                        jnp.minimum(a[_N_CUTS + 1], gmin),
-                        jnp.maximum(a[_N_CUTS + 2], gmax),
-                    ]
+                    accumulate_sweep(
+                        iks[fi],
+                        per_d[d][0],
+                        per_d[d][1],
+                        all_cuts[d],
+                        acc[_NA * d : _NA * (d + 1)],
+                        _N_CUTS,
+                    )
                 )
             return tuple(new_acc)
 
-        acc0 = tuple(
-            v
-            for _ in range(k_d)
-            for v in [jnp.int32(0)] * (_N_CUTS + 1)
-            + [jnp.int32(_I32MAX), jnp.int32(_I32MIN)]
-        )
+        acc0 = tuple(v for _ in range(k_d) for v in sweep_acc_init(_N_CUTS))
 
         def kwrite(slot, t, f):
             return pltpu.make_async_copy(
@@ -372,11 +385,10 @@ def _stream_mega_kernel(
         pseudo = _pseudo_angle(t0, t1)
         return _ikey_view(_monotone_key(jnp.where(eff, pseudo, jnp.inf)))
 
-    cnt_i = cnt_i32
     from stainx_tpu.ops.percentile import nearest_rank_index
 
-    r_lo = nearest_rank_index(alpha, cnt_i)
-    r_hi = nearest_rank_index(100 - alpha, cnt_i)
+    r_lo = nearest_rank_index(alpha, cnt_i32)
+    r_hi = nearest_rank_index(100 - alpha, cnt_i32)
     klo_lo, klo_hi = run_descents([phi_ik], [(0, r_lo), (0, r_hi)])
     cos_lo, sin_lo = _dir_from_pseudo(_f32_from_ik_scalar(klo_lo))
     cos_hi, sin_hi = _dir_from_pseudo(_f32_from_ik_scalar(klo_hi))
@@ -455,6 +467,16 @@ def macenko_transform_stream(
     2.1 G px."""
     if interpret is None:
         interpret = interpret_mode()
+    if images.dtype not in (jnp.uint8, jnp.float32):
+        # The kernel stores f32 results into an images.dtype output buffer;
+        # only the uint8 (explicit int32 hop) and float32 stores lower.
+        # ops.macenko gates routing the same way (fused_row_budget_ok +
+        # STREAM_MEGA dtype check); direct callers get the same contract.
+        raise TypeError(
+            f"macenko_transform_stream lowers only uint8/float32 inputs, got "
+            f"{images.dtype}; other dtypes take the XLA path "
+            "(ops.macenko.macenko_transform)."
+        )
     n, c, h, w = images.shape
     p_true = h * w
     chunk_px = _SUB * _CK

@@ -133,6 +133,31 @@ def _sweep_masks(ik, klo, khi, cuts):
     return cnt, gmin, gmax
 
 
+# One descent's per-sweep accumulator: n_cuts + 1 cumulative counts, then
+# the member-key min and max. THE layout definition — every consumer
+# (this kernel's chunk fold, macenko_stream's count_all) slices with
+# sweep_acc_width and folds with accumulate_sweep, so the layout cannot
+# silently desync between the two kernels (round-3 review finding).
+
+
+def sweep_acc_width(n_cuts: int) -> int:
+    return n_cuts + 3
+
+
+def sweep_acc_init(n_cuts: int):
+    """Identity accumulator for one descent (counts 0, min/max sentinels)."""
+    return [jnp.int32(0)] * (n_cuts + 1) + [jnp.int32(_I32MAX), jnp.int32(_I32MIN)]
+
+
+def accumulate_sweep(ik, klo, khi, cuts, acc_slice, n_cuts: int):
+    """Fold one key chunk into a descent's accumulator slice."""
+    cnt, gmin, gmax = _sweep_masks(ik, klo, khi, cuts)
+    return [acc_slice[m] + cnt[m] for m in range(n_cuts + 1)] + [
+        jnp.minimum(acc_slice[n_cuts + 1], gmin),
+        jnp.maximum(acc_slice[n_cuts + 2], gmax),
+    ]
+
+
 def _descend_step(klo, khi, below, at, done, r, cuts, cnt, gmin, gmax):
     """Scalar phase of one sweep: refresh ``at`` from the top count (sweep
     1 of the no-init path carries a stale 0), clamp the rank, pick the
@@ -203,7 +228,7 @@ def _stream_kernel(
         # --- chunked vector phase: one HBM pass serves every descent ------
         get_dma(0, 0).start()
 
-        _NA = n_cuts + 3  # accumulators per descent: counts + top + min + max
+        _NA = sweep_acc_width(n_cuts)
 
         def chunk_body(c, acc):
             slot = c % 2
@@ -217,20 +242,14 @@ def _stream_kernel(
             new_acc = []
             for d in range(k_ranks):
                 klo, khi = per_d[d][0], per_d[d][1]
-                a = acc[_NA * d : _NA * (d + 1)]
-                cnt, gmin, gmax = _sweep_masks(ik, klo, khi, all_cuts[d])
                 new_acc.extend(
-                    [a[m] + cnt[m] for m in range(n_cuts + 1)]
-                    + [jnp.minimum(a[n_cuts + 1], gmin), jnp.maximum(a[n_cuts + 2], gmax)]
+                    accumulate_sweep(
+                        ik, klo, khi, all_cuts[d], acc[_NA * d : _NA * (d + 1)], n_cuts
+                    )
                 )
             return tuple(new_acc)
 
-        acc0 = tuple(
-            [jnp.int32(0)] * (n_cuts + 1)
-            + [jnp.int32(_I32MAX), jnp.int32(_I32MIN)]
-            for _ in range(k_ranks)
-        )
-        acc0 = tuple(s for group in acc0 for s in group)
+        acc0 = tuple(s for _ in range(k_ranks) for s in sweep_acc_init(n_cuts))
         acc = jax.lax.fori_loop(0, n_chunks, chunk_body, acc0)
 
         # --- scalar phase ---------------------------------------------------
