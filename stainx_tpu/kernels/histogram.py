@@ -50,15 +50,20 @@ def _hist_kernel(x_ref, out_ref):
 
         partial0 = jnp.zeros((_SUB, _LANE), jnp.int16)
         partial = jax.lax.fori_loop(0, _TILES_PER_CHUNK, tile_step, partial0)
+        # Accumulate across chunks in int32: an f32 running count loses
+        # integer exactness once a bin passes 2²⁴ (~16.8M same-valued
+        # pixels), breaking the bit-exact-twin contract with the int32-
+        # summed jnp histogram (round-3 review finding). The f32 cast
+        # happens once, at the caller.
         total = jnp.sum(partial.astype(jnp.int32))
 
         @pl.when(t == 0)
         def _first():
-            out_ref[ci, j] = total.astype(jnp.float32)
+            out_ref[ci, j] = total
 
         @pl.when(t != 0)
         def _rest():
-            out_ref[ci, j] = out_ref[ci, j] + total.astype(jnp.float32)
+            out_ref[ci, j] = out_ref[ci, j] + total
 
         return 0
 
@@ -175,6 +180,11 @@ def histogram_256_mxu(values_u8: jnp.ndarray, interpret: bool | None = None) -> 
     if values_u8.ndim == 2:
         values_u8 = values_u8[None]
     n, c, _p = values_u8.shape
+    if _p == 0:
+        # Degenerate empty field: _chunked_5d's chunk math divides by zero
+        # and a 0-step grid never writes its output (round-3 review
+        # finding); the XLA twin returns all-zero counts.
+        return jnp.zeros((c, 256), jnp.float32)
     x, pad, ck = _chunked_5d(values_u8)
     t = x.shape[2]
 
@@ -194,10 +204,13 @@ def histogram_256_mxu(values_u8: jnp.ndarray, interpret: bool | None = None) -> 
         interpret=interpret,
     )(x)
 
-    counts = out[:, :, :16].reshape(c, 256).astype(jnp.float32)
+    counts = out[:, :, :16].reshape(c, 256)  # int32, exact under any chunking
     if pad:
-        counts = counts.at[:, 0].add(-float(n * pad))
-    return counts
+        # Integer-domain pad subtraction: casting first lets f32 rounding
+        # past 2²⁴ make the result depend on the pad size (the jnp twin
+        # pads differently — round-3 review finding).
+        counts = counts.at[:, 0].add(-n * pad)
+    return counts.astype(jnp.float32)
 
 
 def _apply_lut_kernel(x_ref, lut_ref, out_ref, *, ck):
@@ -237,6 +250,8 @@ def apply_lut_u8_mxu(
     if interpret is None:
         interpret = interpret_mode()
     n, c, p = values_u8.shape
+    if p == 0:
+        return values_u8  # empty field: nothing to look up
     x, pad, ck = _chunked_5d(values_u8)
     t = x.shape[2]
     lut3d = jnp.floor(jnp.clip(lut.astype(jnp.float32), 0.0, 255.0)).reshape(c, 16, 16)
@@ -273,6 +288,8 @@ def histogram_256_pallas(values_u8: jnp.ndarray, interpret: bool | None = None) 
     if interpret is None:
         interpret = interpret_mode()
     c, p = values_u8.shape
+    if p == 0:
+        return jnp.zeros((c, 256), jnp.float32)  # 0-step grid never writes
     pad = (-p) % _CHUNK
     if pad:
         # Pad with 0 and subtract the pad count from bin 0 afterwards.
@@ -291,10 +308,13 @@ def histogram_256_pallas(values_u8: jnp.ndarray, interpret: bool | None = None) 
             )
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((c, 256), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((c, 256), jnp.int32),
         interpret=interpret,
     )(x)
 
     if pad:
-        counts = counts.at[:, 0].add(-float(pad))
-    return counts
+        # Subtract the pad in the INTEGER domain: f32(count + pad) can
+        # round before an f32 subtraction past 2²⁴, making the result
+        # depend on the pad size (round-3 review finding).
+        counts = counts.at[:, 0].add(-pad)
+    return counts.astype(jnp.float32)

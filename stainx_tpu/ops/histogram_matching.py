@@ -124,7 +124,19 @@ def hm_build_lut(source_counts: jnp.ndarray, ref_hist: jnp.ndarray, num_pixels: 
     # ref_values = arange(256), so interp = (idx-1) + alpha·((idx) - (idx-1)).
     lut = (indices - 1).astype(jnp.float32) + alpha
 
-    below_min = source_cdf <= ref_quantiles[:, 0:1]
+    # Below-min pin with an ulp-slack compare: under SELF-matching (fit ==
+    # transform data) the exact values tie (source_cdf[0] == rq[0] in real
+    # arithmetic), so the raw f32 `<=` is decided by fusion-dependent
+    # rounding of two independently-computed quotients — two compilations
+    # of this same function can disagree, the same cross-compilation
+    # hazard the structural above-max pin fixed (round-3 review finding).
+    # The relative slack (64 ulps) absorbs every rounding path; when the
+    # exact difference exceeds the slack the compare is decided by the
+    # exact relationship. The sliver it reclassifies (cdf within 1e-6·rq0
+    # ABOVE rq0) interpolates to alpha ≈ 0 → lut ≈ 0 anyway, so outputs
+    # move < 1 grey from the reference's own f32 behavior.
+    rq0 = ref_quantiles[:, 0:1]
+    below_min = source_cdf <= rq0 * (1.0 + 1e-6)
     # Above-max pinning is decided STRUCTURALLY, not by the float compare
     # the reference writes (``source_cdf >= ref_quantiles[-1]``): in exact
     # arithmetic the CDF at the last occupied source bin is cum/total = 1,
@@ -145,7 +157,17 @@ def hm_build_lut(source_counts: jnp.ndarray, ref_hist: jnp.ndarray, num_pixels: 
     # cannot resolve the compare either.
     occ = (source_counts > 0).astype(jnp.int32)
     occ_at_or_after = jnp.cumsum(occ[:, ::-1], axis=1)[:, ::-1]
-    above_max = (occ_at_or_after - occ) == 0  # nothing occupied strictly after
+    # Two degenerate-channel gates keep the structural form equal to the
+    # reference's compare (round-3 review finding):
+    # - an ALL-EMPTY source channel has "nothing occupied after" every bin
+    #   vacuously; the reference's cdf=0 row fails `cdf >= ref_q_max`
+    #   everywhere, so require the channel to have an occupied bin;
+    # - an ALL-EMPTY reference channel makes ref_q_max = 0, so the
+    #   reference pins EVERY bin to 255 (`cdf >= 0`; above-max is applied
+    #   last and wins) regardless of source occupancy.
+    has_occ = occ_at_or_after[:, 0:1] > 0
+    ref_empty = ref_quantiles[:, -1:] <= 0.0
+    above_max = (((occ_at_or_after - occ) == 0) & has_occ) | ref_empty
     lut = jnp.where(below_min, 0.0, lut)
     lut = jnp.where(above_max, 255.0, lut)
     return jnp.clip(lut, 0.0, 255.0)

@@ -133,3 +133,54 @@ class TestStructuralAboveMaxPin:
             hm_build_lut(jnp.asarray(counts), jnp.asarray(ref), 1920.0 * (1 + 2e-7))
         )
         assert lut[0, 155] == 255.0
+
+    def test_all_zero_source_channel_pins_to_0(self):
+        """An empty source channel makes the occupancy pin vacuously true
+        for every bin; the reference's cdf=0 row fails ``cdf >= ref_q_max``
+        everywhere and below-min pins the whole LUT to 0 (round-3 review
+        finding)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.ops.histogram_matching import hm_build_lut
+
+        counts = np.zeros((1, 256), np.float32)
+        ref = np.zeros((1, 256), np.float32)
+        ref[0, 100:125] = 1.0 / 25.0
+        lut = np.asarray(hm_build_lut(jnp.asarray(counts), jnp.asarray(ref), 0.0))
+        assert (lut == 0.0).all()
+
+    def test_all_zero_ref_channel_pins_to_255(self):
+        """An empty REFERENCE channel makes ref_q_max = 0, so the
+        reference pins every bin to 255 (``cdf >= 0``; above-max is
+        applied last and wins over below-min)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.ops.histogram_matching import hm_build_lut
+
+        counts = np.zeros((1, 256), np.float32)
+        counts[0, 30:40] = 10.0
+        ref = np.zeros((1, 256), np.float32)
+        lut = np.asarray(hm_build_lut(jnp.asarray(counts), jnp.asarray(ref), 100.0))
+        assert (lut == 255.0).all()
+
+    def test_self_match_bin0_tie_pins_deterministically(self):
+        """Self-matching (fit == transform data) ties source_cdf[0] to
+        ref_quantiles[0] in exact arithmetic; the slack compare must pin
+        bin 0 (and a sparse gap after it) regardless of which side f32
+        rounding lands on — the below-min twin of the above-max knife
+        edge (round-3 review finding)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.ops.histogram_matching import hm_build_lut, hm_fit
+
+        img = np.zeros((1, 3, 16, 16), np.uint8)
+        img[0, :, :8] = 0  # bin 0 occupied, bins 1..99 empty
+        img[0, :, 8:] = 100
+        ref_hist = hm_fit(jnp.asarray(img))
+        counts = np.zeros((3, 256), np.float32)
+        counts[:, 0] = 128.0
+        counts[:, 100] = 128.0
+        lut = np.asarray(hm_build_lut(jnp.asarray(counts), ref_hist, 256.0))
+        # Bin 0's cdf ties ref_quantiles[0] exactly: must pin to 0, and the
+        # empty gap bins 1..99 share the same cdf → same pin.
+        assert (lut[:, :100] == 0.0).all()
