@@ -39,7 +39,19 @@ class NormalizerTemplate(StainNormalizerBase):
 
     def __init__(self, device: str | Any | None = None, backend: str | None = None):
         super().__init__(device)
-        if backend is not None and backend not in _VALID_BACKENDS:
+        if backend is not None:
+            self._validate_backend_name(backend)
+        # An explicitly requested backend is sticky across device moves
+        # (reference honors the user's backend in _sync_normalizer_device and
+        # raises when impossible, transforms.py:173-190); only auto-selected
+        # backends re-select in to_device.
+        self._requested_backend = backend
+        self.backend = backend or self._select_backend()
+        self._init_algorithm_attributes()
+
+    @staticmethod
+    def _validate_backend_name(backend: str) -> None:
+        if backend not in _VALID_BACKENDS:
             if backend in _LEGACY_BACKENDS:
                 raise ValueError(
                     f"Backend '{backend}' is a torch-era name; use "
@@ -55,13 +67,17 @@ class NormalizerTemplate(StainNormalizerBase):
                 raise ImportError(
                     "Backend 'pallas' requires jax.experimental.pallas; use backend='xla'."
                 )
-        # An explicitly requested backend is sticky across device moves
-        # (reference honors the user's backend in _sync_normalizer_device and
-        # raises when impossible, transforms.py:173-190); only auto-selected
-        # backends re-select in to_device.
+
+    def set_backend(self, backend: str) -> "NormalizerTemplate":
+        """Explicitly select a backend after construction — same validation
+        as the constructor's ``backend=``, and equally sticky across device
+        moves (the reference's ``_requested_backend`` contract). Used by
+        :class:`stainx_tpu.StainNormalizerTransform` to honor an explicit
+        ``backend=`` over a prebuilt normalizer."""
+        self._validate_backend_name(backend)
         self._requested_backend = backend
-        self.backend = backend or self._select_backend()
-        self._init_algorithm_attributes()
+        self.backend = backend
+        return self
 
     def _init_algorithm_attributes(self):
         """Initialize algorithm-specific fitted-state attributes."""

@@ -27,6 +27,16 @@ class HistogramMatching(NormalizerTemplate):
     """
 
     def __init__(self, device: Any | None = None, backend: str | None = None, channel_axis: int = 1):
+        from stainx_tpu.ops.color import CHANNEL_AXES
+
+        if channel_axis not in CHANNEL_AXES:
+            # An unvalidated axis was read as channels-first by the layout
+            # dispatch but channels-last by _coerce_reference — silent
+            # wrong-axis histograms (round-3 review finding).
+            raise ValueError(
+                f"channel_axis must be one of {CHANNEL_AXES} (1/-3 NCHW, -1/3 NHWC), "
+                f"got {channel_axis}"
+            )
         self.channel_axis = channel_axis
         super().__init__(device=device, backend=backend)
 

@@ -76,6 +76,14 @@ class Macenko(NormalizerTemplate):
             raise ValueError(
                 f"stain_matrix must have shape (3, 2), got {tuple(self._stain_matrix.shape)}"
             )
+        tmc = jnp.asarray(self._target_max_conc)
+        if tmc.size != 2:
+            # Gate load_state-restored shapes here, not deep inside the
+            # jitted pipeline (a scalar indexed tmc[1] there; a (3,) maxC
+            # silently dropped its third entry — round-3 review finding).
+            raise ValueError(
+                f"target_max_conc must have 2 entries (one per stain), got shape {tuple(tmc.shape)}"
+            )
         return macenko_ops.macenko_transform(
             images,
             self._stain_matrix,

@@ -91,8 +91,26 @@ def preserve_dtype(
     return result.astype(original_dtype)
 
 
+# The one channel-axis registry (also enforced by
+# utils.ChannelFormatConverter): 1/-3 = channels-first, -1/3 = channels-last.
+CHANNEL_AXES = (1, -3, -1, 3)
+
+
 def _nchw(images: jnp.ndarray, channel_axis: int) -> tuple[jnp.ndarray, bool]:
-    if channel_axis == -1 or (channel_axis == 3 and images.ndim == 4):
+    # Validate instead of guessing: an out-of-registry axis (e.g. 0) was
+    # silently read as channels-first, and a 3D HWC image with
+    # channel_axis=3 skipped the transpose and sliced the W axis as
+    # channels — garbage with no error (round-3 review findings).
+    if channel_axis not in CHANNEL_AXES:
+        raise ValueError(
+            f"channel_axis must be one of {CHANNEL_AXES} (1/-3 NCHW, -1/3 NHWC), got {channel_axis}"
+        )
+    if images.ndim != 4:
+        raise ValueError(
+            f"expected a 4D batch (NCHW or NHWC), got shape {tuple(images.shape)}; "
+            "add a leading batch dimension first"
+        )
+    if channel_axis in (-1, 3):
         return jnp.transpose(images, (0, 3, 1, 2)), True
     return images, False
 

@@ -89,6 +89,15 @@ class StainNormalizerTransform:
 
         if normalizer is not None:
             self.normalizer = normalizer
+            if backend is not None:
+                # Honor an explicit backend= over a prebuilt normalizer —
+                # the reference stores _requested_backend before its
+                # prebuilt branch and enforces it across device syncs
+                # (transforms.py:90,173-190). Silently ignoring it ran the
+                # prebuilt normalizer's backend with no error (round-3
+                # review finding); set_backend applies the template's own
+                # validation (legacy-name / availability errors included).
+                self.normalizer.set_backend(backend)
             if isinstance(self.normalizer, Macenko):
                 if explicit_n01 is not None:
                     self.normalizer.normalize_to_0_1 = bool(explicit_n01)
@@ -202,8 +211,14 @@ class StainNormalizerTransform:
         return images
 
     def _prepare(self, images: Any) -> jnp.ndarray:
-        images = self._validate_layout(images)
+        # Device resolution BEFORE the jnp conversion in _validate_layout:
+        # converting a host array first places it on jax.devices()[0], which
+        # made _target_device's normalizer-device fallback unreachable and
+        # silently migrated an explicitly pinned normalizer on every host-
+        # array call (round-3 review finding). Host inputs have no
+        # .devices(), so the fallback now actually fires for them.
         target = self._target_device(images)
+        images = self._validate_layout(images)
         self._sync_normalizer_device(target)
         return jax.device_put(images, target)
 
@@ -283,8 +298,17 @@ class StainNormalizerTransform:
                     raise IndexError(
                         f"batch_ref_index={idx} out of range for batch size {img.shape[0]}"
                     )
-                self.normalizer.fit(img[idx : idx + 1])
-                params = self._mesh_params(method)
+                if self.pixel_axis is not None:
+                    # Pixel sharding exists because one image can exceed a
+                    # chip — the designated reference image must be fitted
+                    # pixel-sharded too, not device_put whole onto one chip
+                    # (round-3 review finding).
+                    params = parallel.fit_on_mesh(
+                        method, img[idx : idx + 1], self.mesh, pixel_axis=self.pixel_axis
+                    )
+                else:
+                    self.normalizer.fit(img[idx : idx + 1])
+                    params = self._mesh_params(method)
             self._store_mesh_params(method, params)
         else:
             params = self._mesh_params(method)
@@ -295,6 +319,12 @@ class StainNormalizerTransform:
             # numerics must not depend on whether a mesh is attached.
             kwargs["precision"] = getattr(self.normalizer, "precision", "stable")
             kwargs["use_pallas"] = self.normalizer.backend == "pallas"
+        elif method == "histogram_matching":
+            # The single-device path coerces user-supplied reference forms
+            # (1D 256-bin broadcast, per-channel lists) in _transform_impl;
+            # the mesh path must accept the same fitted states (round-3
+            # review finding). Coercion is idempotent on fit output.
+            params = self.normalizer._coerce_reference(params, img)
         result = parallel.transform_on_mesh(
             method, img, params, self.mesh, pixel_axis=self.pixel_axis, **kwargs
         )

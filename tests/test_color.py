@@ -74,3 +74,25 @@ class TestRangeGates:
             result_in_0_255_range=False,
         )
         assert np.asarray(res).dtype == dtype
+
+
+class TestLayoutValidation:
+    """_nchw validates instead of guessing (round-3 review): an
+    out-of-registry axis was read as channels-first, and 3D HWC with
+    channel_axis=3 sliced the W axis as channels — garbage, no error."""
+
+    def test_invalid_channel_axis_raises(self):
+        import pytest
+
+        from stainx_tpu.ops import color
+
+        with pytest.raises(ValueError, match="channel_axis"):
+            color.rgb_to_lab(np.zeros((1, 3, 4, 4), np.float32), channel_axis=0)
+
+    def test_3d_hwc_raises_instead_of_garbage(self):
+        import pytest
+
+        from stainx_tpu.ops import color
+
+        with pytest.raises(ValueError, match="4D"):
+            color.rgb_to_lab(np.zeros((4, 4, 3), np.float32), channel_axis=3)

@@ -184,3 +184,14 @@ class TestStructuralAboveMaxPin:
         # Bin 0's cdf ties ref_quantiles[0] exactly: must pin to 0, and the
         # empty gap bins 1..99 share the same cdf → same pin.
         assert (lut[:, :100] == 0.0).all()
+
+
+def test_invalid_channel_axis_rejected_at_construction():
+    """An unvalidated axis was read as channels-first by the layout
+    dispatch but channels-last by _coerce_reference (round-3 review)."""
+    import pytest
+
+    from stainx_tpu import HistogramMatching
+
+    with pytest.raises(ValueError, match="channel_axis"):
+        HistogramMatching(channel_axis=0)

@@ -176,6 +176,23 @@ class TestMeshExecution:
         # fitted state was stored back onto the normalizer
         assert t.normalizer._stain_matrix.shape == (3, 2)
 
+    def test_hm_restored_1d_reference_state_works_on_mesh(self, mesh, he_ref, big_batch):
+        """A load_state-restored 1D 256-bin reference (a form the
+        single-device path coerces and broadcasts) must work identically
+        through the mesh path — it previously crashed in hm_build_lut
+        with an axis error (round-3 review finding)."""
+        hist_1d = np.zeros(256, np.float32)
+        hist_1d[80:180] = 1.0 / 100.0
+        norm = HistogramMatching(device="cpu")
+        norm.load_state({"_ref_histograms_256": hist_1d})
+        t_single = StainNormalizerTransform(normalizer=norm, device="cpu")
+        out_s = np.asarray(t_single(big_batch)).astype(np.float32)
+        norm_m = HistogramMatching(device="cpu")
+        norm_m.load_state({"_ref_histograms_256": hist_1d})
+        t_mesh = StainNormalizerTransform(normalizer=norm_m, mesh=mesh, device="cpu")
+        out_m = np.asarray(t_mesh(big_batch)).astype(np.float32)
+        np.testing.assert_allclose(out_m, out_s, atol=1.0)
+
     def test_batch_mode_whole_batch_single_device_matches_manual(self, he_batch):
         t = StainNormalizerTransform(
             method="reinhard", mode="batch", batch_ref_index=None, device="cpu"
@@ -248,6 +265,34 @@ class TestBackendStickiness:
         norm.to_device("cpu")  # auto path re-runs selection (cpu → xla)
         assert norm.backend == "xla"
 
+    def test_explicit_backend_honored_over_prebuilt_normalizer(self, he_ref):
+        """backend= combined with normalizer= must apply to the prebuilt
+        normalizer (the reference's _requested_backend contract); it was
+        silently ignored (round-3 review finding)."""
+        norm = Reinhard(device="cpu", backend="xla").fit(he_ref)
+        StainNormalizerTransform(normalizer=norm, backend="xla", device="cpu")
+        assert norm._requested_backend == "xla"
+        with pytest.raises(ValueError, match="torch-era"):
+            StainNormalizerTransform(normalizer=norm, backend="torch_cuda", device="cpu")
+
+    def test_host_array_input_preserves_pinned_normalizer_device(self, he_ref):
+        """A numpy batch through a transform with device=None must NOT
+        migrate an explicitly pinned normalizer to jax.devices()[0]: the
+        old _prepare converted to jnp (default device) before resolving
+        the target, so the normalizer-device fallback never fired
+        (round-3 review finding)."""
+        import jax
+
+        cpus = jax.devices("cpu")
+        if len(cpus) < 4:
+            pytest.skip("needs multiple virtual CPU devices")
+        pinned = cpus[3]
+        norm = Macenko(device=pinned).fit(he_ref)
+        t = StainNormalizerTransform(normalizer=norm, device=None)
+        out = t(np.asarray(he_ref))  # host array: no .devices()
+        assert norm.device == pinned
+        assert np.isfinite(np.asarray(out).astype(np.float32)).all()
+
 
 class TestMeshPixelAxis:
     """L5 pixel-axis sharding: StainNormalizerTransform(pixel_axis=...)."""
@@ -296,9 +341,11 @@ class TestMeshPixelAxis:
             StainNormalizerTransform(method="macenko", reference=he_ref, pixel_axis="pixel")
 
     def test_batch_mode_ref_index_with_pixel_sharding(self, mesh2d, big_batch):
-        """mode='batch' with a concrete batch_ref_index fits single-device
-        on the selected image and transforms pixel-sharded — the fit path
-        must not require the mesh."""
+        """mode='batch' with a concrete batch_ref_index fits the designated
+        image PIXEL-SHARDED (fit_on_mesh): with pixel_axis set, one image
+        may exceed a chip, so the fit must not device_put it whole onto one
+        device (round-3 review finding). Output must match the
+        single-device pipeline."""
         t = StainNormalizerTransform(
             method="macenko",
             mode="batch",
@@ -307,9 +354,13 @@ class TestMeshPixelAxis:
             pixel_axis="pixel",
             device="cpu",
         )
-        out = np.asarray(t(big_batch))
+        out = np.asarray(t(big_batch)).astype(np.float32)
         assert out.shape == big_batch.shape
-        assert np.isfinite(out.astype(np.float32)).all()
+        t_single = StainNormalizerTransform(
+            method="macenko", mode="batch", batch_ref_index=0, device="cpu"
+        )
+        out_s = np.asarray(t_single(big_batch)).astype(np.float32)
+        np.testing.assert_allclose(out, out_s, atol=1.0 / 255.0)  # n01 outputs
 
     def test_odd_height_through_l5(self, mesh2d, he_ref, big_batch):
         """Any H flows through StainNormalizerTransform(pixel_axis=...) —
