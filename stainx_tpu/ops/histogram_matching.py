@@ -130,13 +130,22 @@ def hm_build_lut(source_counts: jnp.ndarray, ref_hist: jnp.ndarray, num_pixels: 
     # rounding of two independently-computed quotients — two compilations
     # of this same function can disagree, the same cross-compilation
     # hazard the structural above-max pin fixed (round-3 review finding).
-    # The relative slack (64 ulps) absorbs every rounding path; when the
-    # exact difference exceeds the slack the compare is decided by the
-    # exact relationship. The sliver it reclassifies (cdf within 1e-6·rq0
-    # ABOVE rq0) interpolates to alpha ≈ 0 → lut ≈ 0 anyway, so outputs
-    # move < 1 grey from the reference's own f32 behavior.
+    # Slack width matters when the reference quantiles PLATEAU after rq0
+    # (empty ref bins): there the pin-vs-interpolate flip moves outputs by
+    # the full plateau width (up to 100+ greys), so over-pinning is as bad
+    # as the hazard itself (round-3 review repro: a cdf 4.2 ulps above rq0
+    # that the reference resolves to lut≈99 was pinned to 0 by a 1e-6
+    # slack). The tie noise to absorb is the fusion-path difference of two
+    # quotients of identical operands — a/b vs a·(1/b) is ≤ ~1.5 ulps per
+    # side, ≤ 3 ulps apparent separation at an exact tie — so THREE ulps
+    # (3·2⁻²³ relative) covers every rounding path while leaving every
+    # genuinely-resolved f32 compare (≥ 4 ulps, the review repro's width)
+    # to the exact relationship. Exact differences inside the slack
+    # (≲ 2-pixel mass at 8M px) are pinned; the reference's own f32
+    # cannot reliably resolve those either (same deviation class as the
+    # structural above-max note below).
     rq0 = ref_quantiles[:, 0:1]
-    below_min = source_cdf <= rq0 * (1.0 + 1e-6)
+    below_min = source_cdf <= rq0 * (1.0 + 3.0 * 2.0**-23)
     # Above-max pinning is decided STRUCTURALLY, not by the float compare
     # the reference writes (``source_cdf >= ref_quantiles[-1]``): in exact
     # arithmetic the CDF at the last occupied source bin is cum/total = 1,

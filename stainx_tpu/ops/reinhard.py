@@ -26,7 +26,9 @@ LAB_MOMENT_CENTER = 128.0
 
 
 def lab_moments(
-    images: jnp.ndarray, weights: jnp.ndarray | None = None
+    images: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    valid_rows: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Per-channel CENTERED LAB pixel count / sum / sum-of-squares — the
     additive statistics that cross-chip ``psum`` reduces losslessly for
@@ -35,22 +37,37 @@ def lab_moments(
 
     ``weights`` (optional, (N,) 0/1 float) marks which batch entries are
     real — padded rows (uneven-batch sharding) contribute nothing.
+    ``valid_rows`` (optional, (H,) bool) likewise excludes zero-padded
+    pixel ROWS (pixel-sharded fits pad H to the mesh axis).
 
     Returns ``(count, sum, sumsq)`` with shapes ``(), (3,), (3,)``.
     """
     lab = color.rgb_to_lab(color.normalize_to_float(images), channel_axis=1) - LAB_MOMENT_CENTER
-    if weights is None:
+    if weights is None and valid_rows is None:
         n = jnp.asarray(lab.shape[0] * lab.shape[2] * lab.shape[3], jnp.float32)
         s = jnp.sum(lab, axis=(0, 2, 3))
         sq = jnp.sum(lab * lab, axis=(0, 2, 3))
         return n, s, sq
     # Elementwise weighted combine (NOT einsum: TPU f32 contractions
-    # default to bf16-input MXU passes — CLAUDE.md landmine).
-    w = weights.astype(jnp.float32)[:, None]
-    hw = jnp.float32(lab.shape[2] * lab.shape[3])
-    n = jnp.sum(w) * hw
-    s = jnp.sum(jnp.sum(lab, axis=(2, 3)) * w, axis=0)
-    sq = jnp.sum(jnp.sum(lab * lab, axis=(2, 3)) * w, axis=0)
+    # default to bf16-input MXU passes — CLAUDE.md landmine). The
+    # batch-row × pixel-row weight stays FACTORED as an (N, 1, H, 1)
+    # broadcast: no (N, 3, H, W) weight plane is materialized and the
+    # count is an exact product of scalar factor sums (a full-slab f32
+    # sum of ones rounds past 2²⁴ local pixels).
+    rw = (
+        weights.astype(jnp.float32)
+        if weights is not None
+        else jnp.ones((lab.shape[0],), jnp.float32)
+    )
+    rv = (
+        valid_rows.astype(jnp.float32)
+        if valid_rows is not None
+        else jnp.ones((lab.shape[2],), jnp.float32)
+    )
+    wpx = rw[:, None, None, None] * rv[None, None, :, None]  # (N, 1, H, 1)
+    n = jnp.sum(rw) * jnp.sum(rv) * jnp.float32(lab.shape[3])
+    s = jnp.sum(lab * wpx, axis=(0, 2, 3))
+    sq = jnp.sum(lab * lab * wpx, axis=(0, 2, 3))
     return n, s, sq
 
 
@@ -143,13 +160,19 @@ def reinhard_transform(
 
 
 def reinhard_fit_sharded(
-    images: jnp.ndarray, *, axis_name: str, weights: jnp.ndarray | None = None
+    images: jnp.ndarray,
+    *,
+    axis_name: str,
+    weights: jnp.ndarray | None = None,
+    valid_rows: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Distributed fit: additive LAB moments reduced with ``psum`` across
     ``axis_name``. Call inside ``shard_map`` — exact (not approximate) because
     mean/std are additive in (n, Σx, Σx²). ``weights`` marks real batch rows
-    when the global batch was zero-padded to the mesh axis. See SURVEY §2.3 / §5."""
-    n, s, sq = lab_moments(images, weights)
+    when the global batch was zero-padded to the mesh axis; ``valid_rows``
+    ((H_local,) bool) marks real pixel rows when H was zero-padded to the
+    pixel axis. See SURVEY §2.3 / §5."""
+    n, s, sq = lab_moments(images, weights, valid_rows)
     n = jax.lax.psum(n, axis_name)
     s = jax.lax.psum(s, axis_name)
     sq = jax.lax.psum(sq, axis_name)

@@ -27,12 +27,16 @@ from stainx_tpu.parallel.percentile import distributed_masked_percentile
 # --------------------------------------------------------------- Reinhard
 
 
-def reinhard_fit_sharded(images, axis_name, weights=None):
+def reinhard_fit_sharded(images, axis_name, weights=None, valid_rows=None):
     """Exact distributed Reinhard fit: psum of (n, Σx, Σx²) LAB moments
     (delegates to the single implementation in :mod:`stainx_tpu.ops.reinhard`).
     ``weights`` ((N_local,) 0/1 float, optional) marks real rows when the
-    global batch was zero-padded to divide the mesh axis."""
-    return reinhard_ops.reinhard_fit_sharded(images, axis_name=axis_name, weights=weights)
+    global batch was zero-padded to divide the mesh axis; ``valid_rows``
+    ((H_local,) bool, optional) marks real pixel rows when H was
+    zero-padded to divide the pixel axis."""
+    return reinhard_ops.reinhard_fit_sharded(
+        images, axis_name=axis_name, weights=weights, valid_rows=valid_rows
+    )
 
 
 def reinhard_transform_sharded(
@@ -112,12 +116,14 @@ def _local_histogram(images_u8, weights, valid_rows=None):
     return counts, valid_px
 
 
-def hm_fit_sharded(images, axis_name, channel_axis: int = 1, weights=None):
+def hm_fit_sharded(images, axis_name, channel_axis: int = 1, weights=None, valid_rows=None):
     """Exact distributed HM fit: histograms are additive → one psum.
-    ``weights`` excludes zero-padded rows (uneven-batch sharding)."""
+    ``weights`` excludes zero-padded batch rows (uneven-batch sharding);
+    ``valid_rows`` ((H_local,) bool) zero-padded pixel rows (H padded to
+    the pixel axis)."""
     images_cf, _ = hm_ops._to_channels_first(images, channel_axis)
     images_u8, _ = color.images_to_uint8(images_cf)
-    counts, _ = _local_histogram(images_u8, weights)
+    counts, _ = _local_histogram(images_u8, weights, valid_rows)
     counts = jax.lax.psum(counts, axis_name)
     return counts / (jnp.sum(counts, axis=1, keepdims=True) + 1e-8)
 
@@ -125,14 +131,18 @@ def hm_fit_sharded(images, axis_name, channel_axis: int = 1, weights=None):
 # ----------------------------------------------------------------- Macenko
 
 
-def macenko_fit_sharded(images, axis_name, percentile_levels: int = 0, weights=None):
+def macenko_fit_sharded(
+    images, axis_name, percentile_levels: int = 0, weights=None, valid_rows=None
+):
     """Distributed Macenko fit over a sharded pixel pool.
 
     The covariance comes from psum'd additive masked moments (the 10-scalar
     accumulator layout, ``csrc/macenko.cu:156-190``, which distributes
     losslessly); φ and concentration percentiles use the global-histogram
-    refinement. ``weights`` ((N_local,) 0/1) excludes zero-padded rows'
-    pixels from every mask. Returns replicated ``(HE (3,2), maxC (2,))``.
+    refinement. ``weights`` ((N_local,) 0/1) excludes zero-padded BATCH
+    rows' pixels from every mask; ``valid_rows`` ((H_local,) bool)
+    zero-padded pixel rows (H padded to the pixel axis). Returns
+    replicated ``(HE (3,2), maxC (2,))``.
     """
     images_float = color.normalize_to_float(images)
     n, _, h, w = images_float.shape
@@ -142,9 +152,15 @@ def macenko_fit_sharded(images, axis_name, percentile_levels: int = 0, weights=N
     od_c = tuple(od[:, i].reshape(1, p_local) for i in range(3))
 
     valid = None
-    if weights is not None:
-        # Pixel ordering of the (1, P_local) planes is batch-major.
-        valid = jnp.repeat(weights > 0, h * w).reshape(1, p_local)
+    if weights is not None or valid_rows is not None:
+        # Pixel ordering of the (1, P_local) planes is batch-major; the
+        # batch-row × pixel-row validity stays factored until one
+        # (N, H, W) broadcast.
+        bv = (weights > 0) if weights is not None else jnp.ones((n,), bool)
+        rv = valid_rows if valid_rows is not None else jnp.ones((h,), bool)
+        valid = jnp.broadcast_to(
+            bv[:, None, None] & rv[None, :, None], (n, h, w)
+        ).reshape(1, p_local)
 
     od_min = jnp.minimum(jnp.minimum(od_c[0], od_c[1]), od_c[2])
     mask = od_min >= macenko_ops.BETA  # (1, P_local)
@@ -339,35 +355,40 @@ def _fit_runner(
     batch_axis: str,
     weighted: bool = False,
     pixel_axis: str | None = None,
+    h_padded: bool = False,
 ):
+    """Build (once per distinct configuration) the jitted shard_map fit
+    runner. Positional call order is ``run(imgs, [valid_rows], [weights])``
+    — the optional mask operands appear iff ``h_padded`` / ``weighted``, in
+    that order, mirroring :func:`_transform_runner`."""
     fit_fn = _FIT_SHARDED[method]
     axis = (batch_axis, pixel_axis) if pixel_axis else batch_axis
     img_spec = PartitionSpec(batch_axis, None, pixel_axis)  # pixel_axis=None ⇒ batch-only
-    w_spec = PartitionSpec(batch_axis)
 
+    mask_specs = []
+    if h_padded:
+        mask_specs.append(PartitionSpec(pixel_axis))
     if weighted:
+        mask_specs.append(PartitionSpec(batch_axis))
+    n_masks = len(mask_specs)
 
-        @jax.jit
-        def run(imgs, w):
-            return jax.shard_map(
-                lambda im, wl: fit_fn(im, axis, weights=wl),
-                mesh=mesh,
-                in_specs=(img_spec, w_spec),
-                out_specs=PartitionSpec(),
-                check_vma=False,
-            )(imgs, w)
-
-        return run
+    def body(im, masks):
+        kw = {}
+        if h_padded:
+            kw["valid_rows"] = masks[0]
+        if weighted:
+            kw["weights"] = masks[-1]
+        return fit_fn(im, axis, **kw)
 
     @jax.jit
-    def run(imgs):
+    def run(imgs, *rest):
         return jax.shard_map(
-            lambda im: fit_fn(im, axis),
+            lambda im, *r: body(im, list(r[:n_masks])),
             mesh=mesh,
-            in_specs=img_spec,
+            in_specs=(img_spec, *mask_specs),
             out_specs=PartitionSpec(),
             check_vma=False,
-        )(imgs)
+        )(imgs, *rest)
 
     return run
 
@@ -396,14 +417,27 @@ def _check_pixel_axis(mesh: Mesh, pixel_axis: str | None, batch_axis: str) -> No
         )
 
 
-def _check_fit_h(mesh: Mesh, pixel_axis: str, h: int) -> None:
+def _pad_h_to_axis(images, mesh: Mesh, pixel_axis: str):
+    """Zero-pad H to a multiple of the pixel mesh axis; returns
+    ``(padded_images, vr_args, h_padded)`` where ``vr_args`` is a 0- or
+    1-tuple holding the sharded (H_padded,) row-validity vector. Both the
+    fit and transform mesh wrappers accept ANY image height through this
+    pad+mask (the reference's L5 accepts arbitrary shapes,
+    ``src/stainx/transforms.py:218-230``); padded pixel rows are excluded
+    from every statistic via ``valid_rows`` and transform outputs are
+    sliced back."""
+    h = images.shape[2]
     px = mesh.shape[pixel_axis]
-    if h % px:
-        raise ValueError(
-            f"the '{pixel_axis}' mesh axis ({px} shards) does not divide image "
-            f"height {h} for a pixel-sharded FIT. Pad H to a multiple of {px} "
-            "(transform_on_mesh auto-pads; the fit path does not)."
-        )
+    h_pad = ((h + px - 1) // px) * px
+    if h_pad == h:
+        return images, (), False
+    images = jnp.concatenate(
+        [images, jnp.zeros((*images.shape[:2], h_pad - h, images.shape[3]), images.dtype)],
+        axis=2,
+    )
+    rows_valid = jnp.arange(h_pad) < h
+    vr_args = (jax.device_put(rows_valid, NamedSharding(mesh, PartitionSpec(pixel_axis))),)
+    return images, vr_args, True
 
 
 def _pad_to_axis(images, axis_size: int):
@@ -433,24 +467,29 @@ def fit_on_mesh(
     ``batch_axis``; any batch size is accepted (uneven N is zero-padded and
     excluded from the statistics via a sharded weights vector). With
     ``pixel_axis`` each image's rows are additionally sharded over that
-    mesh axis (its size must divide H) and the statistics reduce over both axes.
+    mesh axis — ANY height is accepted (a non-dividing H is zero-padded
+    and the padded rows are excluded from every statistic via a sharded
+    row-validity vector) — and the statistics reduce over both axes.
     Returns replicated fitted parameters (a tuple for reinhard/macenko, a
     (C, 256) array for histogram_matching)."""
     if method not in _FIT_SHARDED:
         raise ValueError(f"Unknown method '{method}'. Choose from {sorted(_FIT_SHARDED)}")
     images = jnp.asarray(images)
     _check_pixel_axis(mesh, pixel_axis, batch_axis)
+    vr_args: tuple = ()
+    h_padded = False
     if pixel_axis is not None:
-        _check_fit_h(mesh, pixel_axis, images.shape[2])
+        images, vr_args, h_padded = _pad_h_to_axis(images, mesh, pixel_axis)
     padded, weights, _ = _pad_to_axis(images, _axis_size(mesh, batch_axis))
     spec = NamedSharding(mesh, PartitionSpec(batch_axis, None, pixel_axis))
     w_spec = NamedSharding(mesh, PartitionSpec(batch_axis))
     sharded = jax.device_put(padded, spec)
-    if weights is None:
-        return _fit_runner(method, mesh, batch_axis, pixel_axis=pixel_axis)(sharded)
-    return _fit_runner(method, mesh, batch_axis, weighted=True, pixel_axis=pixel_axis)(
-        sharded, jax.device_put(weights, w_spec)
+    weighted = weights is not None
+    run = _fit_runner(
+        method, mesh, batch_axis, weighted=weighted, pixel_axis=pixel_axis, h_padded=h_padded
     )
+    w_args = vr_args + ((jax.device_put(weights, w_spec),) if weighted else ())
+    return run(sharded, *w_args)
 
 
 @lru_cache(maxsize=None)
@@ -603,21 +642,10 @@ def transform_on_mesh(
     images = jnp.asarray(images)
     _check_pixel_axis(mesh, pixel_axis, batch_axis)
     h = images.shape[2]
-    vr_args = ()
+    vr_args: tuple = ()
     h_padded = False
     if pixel_axis is not None:
-        px = mesh.shape[pixel_axis]
-        h_pad = ((h + px - 1) // px) * px
-        if h_pad != h:
-            h_padded = True
-            images = jnp.concatenate(
-                [images, jnp.zeros((*images.shape[:2], h_pad - h, images.shape[3]), images.dtype)],
-                axis=2,
-            )
-            rows_valid = jnp.arange(h_pad) < h
-            vr_args = (
-                jax.device_put(rows_valid, NamedSharding(mesh, PartitionSpec(pixel_axis))),
-            )
+        images, vr_args, h_padded = _pad_h_to_axis(images, mesh, pixel_axis)
     padded, weights, n = _pad_to_axis(images, _axis_size(mesh, batch_axis))
     spec = NamedSharding(mesh, PartitionSpec(batch_axis, None, pixel_axis))
     w_sharding = NamedSharding(mesh, PartitionSpec(batch_axis))

@@ -185,6 +185,28 @@ class TestStructuralAboveMaxPin:
         # empty gap bins 1..99 share the same cdf → same pin.
         assert (lut[:, :100] == 0.0).all()
 
+    def test_resolved_above_rq0_interpolates_across_ref_gap(self):
+        """A source cdf f32-RESOLVED above rq0 (4.2 ulps here) must NOT be
+        pinned: with reference bins 1..99 empty the exact interpolation
+        lands at ~99, and a too-wide slack (the original 1e-6) collapsed
+        it to 0 — a 99-grey deviation from the reference on every bin-0
+        pixel (round-3 review repro). The slack must cover only the
+        fusion-rounding tie noise (≤ ~3 ulps), never exact differences
+        f32 can represent."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.ops.histogram_matching import hm_build_lut
+
+        n = 4_000_000.0
+        counts = np.zeros((1, 256), np.float32)
+        counts[0, 0] = 2_000_001.0  # cdf = 0.50000025: 4.2 ulps above 0.5
+        counts[0, 200] = n - counts[0, 0]
+        ref = np.zeros((1, 256), np.float32)
+        ref[0, 0] = 0.5
+        ref[0, 100] = 0.5  # quantiles plateau at 0.5 through bin 99
+        lut = np.asarray(hm_build_lut(jnp.asarray(counts), jnp.asarray(ref), n))
+        assert abs(lut[0, 0] - 99.0) < 1.0  # interpolates, not pinned
+
 
 def test_invalid_channel_axis_rejected_at_construction():
     """An unvalidated axis was read as channels-first by the layout

@@ -499,6 +499,40 @@ class TestPixelSharded:
         np.testing.assert_allclose(np.asarray(he_d), np.asarray(he_s), atol=2e-3)
         np.testing.assert_allclose(np.asarray(mc_d), np.asarray(mc_s), rtol=1e-2)
 
+    def test_fit_any_h_pixel_sharded_matches_single_device(self, mesh2d, he_batch):
+        """fit_on_mesh accepts a height the pixel axis does not divide
+        (round-3 review repro: the divisibility error broke the
+        documented any-H contract for batch mode with a designated
+        batch_ref_index): padded pixel rows must be excluded from every
+        statistic, for all three methods."""
+        odd = he_batch[:, :, :31, :]  # 31 % 2 != 0
+        assert odd.shape[2] % mesh2d.shape["pixel"] != 0
+
+        he_d, mc_d = parallel.fit_on_mesh("macenko", odd, mesh2d, pixel_axis="pixel")
+        he_s, mc_s = macenko_ops.macenko_fit(jnp.asarray(odd))
+        np.testing.assert_allclose(np.asarray(he_d), np.asarray(he_s), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(mc_d), np.asarray(mc_s), rtol=1e-2)
+
+        mean_d, std_d = parallel.fit_on_mesh("reinhard", odd, mesh2d, pixel_axis="pixel")
+        mean_s, std_s = reinhard_ops.reinhard_fit(jnp.asarray(odd))
+        # psum'd moments reduce in a different order than the single-device
+        # sum: bit-identical is not the contract, a few f32 ulps is.
+        np.testing.assert_allclose(np.asarray(mean_d), np.asarray(mean_s), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(std_d), np.asarray(std_s), rtol=1e-4)
+
+        hist_d = parallel.fit_on_mesh("histogram_matching", odd, mesh2d, pixel_axis="pixel")
+        hist_s = hm_ops.hm_fit(jnp.asarray(odd))
+        np.testing.assert_allclose(np.asarray(hist_d), np.asarray(hist_s), atol=1e-6)
+
+    def test_fit_any_h_composes_with_uneven_batch(self, mesh2d, he_batch):
+        """Odd H AND a batch the mesh axis does not divide: the padded
+        pixel rows and the padded batch rows are excluded independently."""
+        odd = he_batch[:3, :, :31, :]
+        mean_d, std_d = parallel.fit_on_mesh("reinhard", odd, mesh2d, pixel_axis="pixel")
+        mean_s, std_s = reinhard_ops.reinhard_fit(jnp.asarray(odd))
+        np.testing.assert_allclose(np.asarray(mean_d), np.asarray(mean_s), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(std_d), np.asarray(std_s), rtol=1e-4)
+
     def test_uneven_batch_with_pixel_sharding(self, mesh2d, he_batch):
         """Pad+mask on the batch axis composes with pixel sharding."""
         batch = he_batch[:3]  # 3 % 4 != 0
@@ -597,10 +631,8 @@ class TestPixelSharded:
                 mesh2d,
                 pixel_axis="batch",
             )
-        # The FIT path keeps the divisibility requirement (actionable error).
-        odd_h = he_batch[:, :, :31, :]
-        with pytest.raises(ValueError, match="does not divide"):
-            parallel.fit_on_mesh("macenko", odd_h, mesh2d, pixel_axis="pixel")
+        # (The fit path's former divisibility error is gone: fit_on_mesh
+        # pads+masks any H — test_fit_any_h_pixel_sharded_matches_single_device.)
 
     @pytest.mark.parametrize("method", ["macenko", "reinhard", "histogram_matching"])
     def test_odd_h_auto_pads(self, mesh_px8, he_batch, method):

@@ -364,8 +364,11 @@ class TestMeshPixelAxis:
 
     def test_odd_height_through_l5(self, mesh2d, he_ref, big_batch):
         """Any H flows through StainNormalizerTransform(pixel_axis=...) —
-        the wrapper pads rows, masks them out of statistics, slices back."""
-        odd = big_batch[:, :, :30, :]
+        the wrapper pads rows, masks them out of statistics, slices back.
+        H=31 is NOT divisible by the 2-shard pixel axis (an earlier
+        version used H=30, which is — and never exercised the pad)."""
+        odd = big_batch[:, :, :31, :]
+        assert odd.shape[2] % mesh2d.shape["pixel"] != 0
         t_mesh = StainNormalizerTransform(
             method="macenko", reference=he_ref, mesh=mesh2d, pixel_axis="pixel", device="cpu"
         )
@@ -374,3 +377,26 @@ class TestMeshPixelAxis:
         out_s = np.asarray(t_single(odd)).astype(np.float32)
         assert out_m.shape == odd.shape
         np.testing.assert_allclose(out_m, out_s, atol=1.0 / 255.0)
+
+    def test_batch_ref_index_pixel_sharded_odd_height(self, mesh2d, big_batch):
+        """mode='batch' + batch_ref_index + pixel_axis on a non-dividing H:
+        the designated-image fit routes through fit_on_mesh, which must
+        pad+mask H like the transform (round-3 review repro — this raised
+        a divisibility ValueError, breaking the documented any-H
+        contract)."""
+        odd = big_batch[:, :, :31, :]
+        t = StainNormalizerTransform(
+            method="macenko",
+            mode="batch",
+            batch_ref_index=0,
+            mesh=mesh2d,
+            pixel_axis="pixel",
+            device="cpu",
+        )
+        out = np.asarray(t(odd)).astype(np.float32)
+        assert out.shape == odd.shape
+        t_single = StainNormalizerTransform(
+            method="macenko", mode="batch", batch_ref_index=0, device="cpu"
+        )
+        out_s = np.asarray(t_single(odd)).astype(np.float32)
+        np.testing.assert_allclose(out, out_s, atol=1.0 / 255.0)  # n01 outputs
