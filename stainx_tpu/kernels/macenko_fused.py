@@ -171,8 +171,9 @@ def _mega_kernel(
 ):
     """The ENTIRE per-image Macenko transform in one grid step: the row is
     loaded once, every statistic/selection/reconstruction happens in VMEM,
-    and the only HBM write is the output row."""
-    i = pl.program_id(0)
+    and the only HBM write is the output row. Per-image indexing lives in
+    the BlockSpec index_maps — the kernel body itself is image-agnostic
+    (all refs are block-local)."""
     od = _od_planes(x_ref, is_uint8)
     s, lane = od[0].shape
     idx = jax.lax.broadcasted_iota(jnp.int32, (s, lane), 0) * lane + jax.lax.broadcasted_iota(

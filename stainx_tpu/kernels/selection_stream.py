@@ -342,6 +342,11 @@ def kth_smallest_streaming(
     max_sweeps = stream_max_sweeps(n_cuts)  # validates n_cuts >= 2
     rows, p = x.shape
     k_ranks = ranks.shape[1]
+    if p == 0:
+        # Empty field: the library-wide empty-row convention is the +inf
+        # sentinel (ops/percentile, kernels/selection) — a zero-size chunk
+        # otherwise divides by zero at trace time (round-3 review).
+        return jnp.full((rows, k_ranks), jnp.inf, jnp.float32)
     ik = _ikey_view(_monotone_key(x.astype(jnp.float32)))
     chunk = min(CHUNK_ELEMS, -(-p // (8 * _LANE)) * (8 * _LANE))
     pad = (-p) % chunk
@@ -391,6 +396,8 @@ def kth_smallest_streaming_reference(
     sums are associative, so results are bit-identical). Any backend."""
     rows, p = x.shape
     k_ranks = ranks.shape[1]
+    if p == 0:
+        return jnp.full((rows, k_ranks), jnp.inf, jnp.float32)
     max_sweeps = stream_max_sweeps(n_cuts)
     ik_all = _ikey_view(_monotone_key(x.astype(jnp.float32)))
     init_arr = _init_keys(init) if init is not None else None

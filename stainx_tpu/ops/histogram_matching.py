@@ -65,10 +65,14 @@ def histogram_256(values_u8: jnp.ndarray) -> jnp.ndarray:
     hi = ((v >> 4)[..., None] == a16).astype(jnp.bfloat16)
     lo = ((v & 15)[..., None] == a16).astype(jnp.bfloat16)
     cnt = jnp.einsum("cnpa,cnpb->cnab", hi, lo, preferred_element_type=jnp.float32)
-    cnt = jnp.sum(cnt.astype(jnp.int32), axis=1).reshape(c, 256).astype(jnp.float32)
+    cnt = jnp.sum(cnt.astype(jnp.int32), axis=1).reshape(c, 256)
+    # Pad correction in the INTEGER domain, before the f32 cast: subtracting
+    # after the cast makes bin 0 pad-dependent past 2²⁴ pixels (f32(C+pad)−pad
+    # rounds differently than f32(C)) — the same finding class
+    # histogram_256_mxu was fixed for (round-3 review).
     if pad:
-        cnt = cnt.at[:, 0].add(-float(pad))
-    return cnt
+        cnt = cnt.at[:, 0].add(jnp.int32(-pad))
+    return cnt.astype(jnp.float32)
 
 
 def _histogram_nchw(images_u8: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
@@ -160,10 +164,17 @@ def hm_build_lut(source_counts: jnp.ndarray, ref_hist: jnp.ndarray, num_pixels: 
     # of the ≤256 occupied bins: exact at ANY pixel count (an integer
     # cumsum of pixel counts would wrap past 2³¹, and a separately
     # f32-rounded total can land an ulp above the exact cumsum and
-    # suppress the pin — review findings). Deviation from exact reference
-    # math only for bins with fewer than total·1e-8 pixels above them
-    # (possible only past 10⁸ pixels), where the reference's own f32
-    # cannot resolve the compare either.
+    # suppress the pin — review findings). Exact-math deviation class
+    # (round-3 review measurement): the exact compare at the last occupied
+    # source bin is cdf = N/(N+1e-8) vs ref_q_max = S/(S+1e-8), so exact
+    # reference math pins only when N ≥ S (cdf monotone in the count) —
+    # with raw-count ref_hist (the docstring permits any normalization)
+    # and N < S, exact math interpolates where this form pins (measured
+    # 3–22 greys on ~10³–10⁵-px sources vs ~10⁶-count refs). The
+    # reference's own f32 cannot resolve that separation (≤ 1e-8, far
+    # under ulp(1.0)) — it lands on the pin side — so the structural form
+    # matches the reference's realizable f32 behavior, not its exact-math
+    # idealization.
     occ = (source_counts > 0).astype(jnp.int32)
     occ_at_or_after = jnp.cumsum(occ[:, ::-1], axis=1)[:, ::-1]
     # Two degenerate-channel gates keep the structural form equal to the

@@ -208,6 +208,24 @@ class TestStructuralAboveMaxPin:
         assert abs(lut[0, 0] - 99.0) < 1.0  # interpolates, not pinned
 
 
+def test_histogram_256_pad_independent_past_2pow24():
+    """The chunk-pad correction must happen in the INTEGER domain: an
+    f32-domain subtract makes bin 0 pad-dependent past 2²⁴ pixels
+    (f32(C+pad)−pad rounds differently than f32(C)) — the same class the
+    MXU kernel was fixed for (round-3 review repro: 33,554,382 zeros
+    returned 33,554,384.0)."""
+    import jax.numpy as jnp
+
+    from stainx_tpu.ops.histogram_matching import histogram_256
+
+    p = 33_554_383  # > 2²⁴ and NOT a chunk multiple → nonzero pad
+    v = np.zeros((1, p), np.uint8)
+    v[0, -1] = 7
+    cnt = np.asarray(histogram_256(jnp.asarray(v)))
+    assert cnt[0, 0] == float(p - 1)
+    assert cnt[0, 7] == 1.0
+
+
 def test_invalid_channel_axis_rejected_at_construction():
     """An unvalidated axis was read as channels-first by the layout
     dispatch but channels-last by _coerce_reference (round-3 review)."""

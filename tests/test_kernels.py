@@ -480,6 +480,22 @@ class TestStreamingSelectionKernel:
         np.testing.assert_array_equal(got, expect)
         np.testing.assert_array_equal(twin, expect)
 
+    def test_empty_field_returns_inf_sentinel(self):
+        """A (R, 0) field must resolve to the library-wide +inf empty-row
+        convention — a zero-size chunk previously divided by zero at trace
+        time (round-3 review repro)."""
+        from stainx_tpu.kernels.selection_stream import (
+            kth_smallest_streaming,
+            kth_smallest_streaming_reference,
+        )
+
+        x = jnp.zeros((2, 0), jnp.float32)
+        ranks = jnp.zeros((2, 2), jnp.int32)
+        got = np.asarray(kth_smallest_streaming(x, ranks, interpret=True))
+        twin = np.asarray(kth_smallest_streaming_reference(x, ranks))
+        assert np.isposinf(got).all() and got.shape == (2, 2)
+        assert np.isposinf(twin).all()
+
     def test_masked_sentinels_and_init(self):
         """+inf sentinels are excluded; the caller-supplied (min, max, n)
         init must select identically while skipping the discovery sweep."""
