@@ -208,6 +208,115 @@ class TestStructuralAboveMaxPin:
         assert abs(lut[0, 0] - 99.0) < 1.0  # interpolates, not pinned
 
 
+class TestLutDifferentialVsExactF64:
+    """Randomized LUT-level differential vs an exact float64 port of the
+    reference's searchsorted+interp+pins (``torch_backend.py:254-281``).
+    Every differing entry must fall in a DOCUMENTED deviation class —
+    this pins the pin semantics far more broadly than the image-level
+    fixtures, and fails loudly if a future edit widens the below-min
+    slack (the round-3 over-pin repro class) or weakens the structural
+    above-max occupancy rule."""
+
+    @staticmethod
+    def _exact_f64_lut(source_counts, ref_hist, num_pixels):
+        """Faithful f64 port of the reference LUT math — exact arithmetic
+        stand-in (f64 resolves every compare the fixtures generate)."""
+        sc = np.cumsum(source_counts.astype(np.float64) / (num_pixels + 1e-8), axis=1)
+        rq = np.cumsum(
+            ref_hist.astype(np.float64)
+            / (ref_hist.astype(np.float64).sum(axis=1, keepdims=True) + 1e-8),
+            axis=1,
+        )
+        vals = np.arange(256, dtype=np.float64)
+        luts = []
+        for c in range(sc.shape[0]):
+            idx = np.clip(np.searchsorted(rq[c], sc[c], side="left"), 1, 255)
+            q_left, q_right = rq[c][idx - 1], rq[c][idx]
+            diff = q_right - q_left
+            with np.errstate(divide="ignore", invalid="ignore"):
+                alpha = np.where(diff > 1e-10, (sc[c] - q_left) / diff, 0.0)
+            lut = vals[idx - 1] + alpha
+            lut = np.where(sc[c] <= rq[c][0], 0.0, lut)
+            lut = np.where(sc[c] >= rq[c][255], 255.0, lut)
+            luts.append(np.clip(lut, 0.0, 255.0))
+        return np.stack(luts), sc, rq
+
+    @staticmethod
+    def _random_hist(rng, family, n_px):
+        counts = np.zeros(256, np.float64)
+        if family == "dense":
+            counts = rng.integers(1, 50, 256).astype(np.float64)
+        elif family == "sparse":
+            bins = rng.choice(256, size=rng.integers(2, 12), replace=False)
+            counts[bins] = rng.integers(1, 1000, bins.size)
+        elif family == "plateau":  # mass at a low bin, long gap, rest high
+            counts[rng.integers(0, 4)] = rng.integers(1, 1000)
+            counts[rng.integers(100, 256)] = rng.integers(1, 1000)
+        else:  # "spiky": few huge spikes over a thin floor
+            counts = rng.integers(0, 3, 256).astype(np.float64)
+            spikes = rng.choice(256, size=3, replace=False)
+            counts[spikes] = rng.integers(10_000, 100_000, 3)
+        total = counts.sum()
+        if total == 0:
+            counts[0] = 1.0
+            total = 1.0
+        return counts * (n_px / total)
+
+    def test_every_deviation_in_a_documented_class(self):
+        import jax.numpy as jnp
+
+        from stainx_tpu.ops.histogram_matching import hm_build_lut
+
+        rng = np.random.default_rng(2026)
+        families = ["dense", "sparse", "plateau", "spiky"]
+        ref_scales = [1.0, 1e6]  # normalized-ish and raw-count references
+        n_trials = 120
+        n_checked = 0
+        for trial in range(n_trials):
+            fam_s = families[trial % 4]
+            fam_r = families[(trial // 4) % 4]
+            n_px = float(rng.integers(500, 5_000_000))
+            src = np.stack([self._random_hist(rng, fam_s, n_px)])
+            if trial % 5 == 0:
+                ref = src.copy() * rng.choice(ref_scales)  # self-match class
+            else:
+                ref = np.stack(
+                    [self._random_hist(rng, fam_r, rng.choice(ref_scales))]
+                )
+            got = np.asarray(
+                hm_build_lut(
+                    jnp.asarray(src, jnp.float32), jnp.asarray(ref, jnp.float32), n_px
+                )
+            ).astype(np.float64)
+            exact, sc, rq = self._exact_f64_lut(
+                src.astype(np.float32), ref.astype(np.float32), n_px
+            )
+            d = np.abs(got - exact)[0]
+            for b in np.nonzero(d > 0.51)[0]:  # ≤0.51: interp rounding excused
+                # A deviation is excused ONLY on a knife edge: the source
+                # cdf sits within f32 resolution (few-ulp cumsum noise, 16
+                # ulps here) of SOME reference quantile, so which side the
+                # f32 compare lands is compilation luck and the output
+                # jumps by the adjacent occupied-quantile gap. This one
+                # criterion subsumes every documented class: the below-min
+                # tie (rq[0]), the above-max unresolvable separation
+                # (rq[255]), and the sparse-histogram self-match ties
+                # (interior rq plateaus) — see docs/correctness_report.md.
+                # (The dedicated slack-width regression test pins the
+                # resolved-4-ulp case more tightly than this sweep.)
+                gap = np.min(np.abs(sc[0, b] - rq[0]))
+                tol = 16.0 * 2.0**-23 * max(abs(sc[0, b]), 2.0**-126)
+                assert gap <= tol, (
+                    f"trial {trial} bin {b}: got {got[0, b]} vs exact {exact[0, b]} "
+                    f"(sc {sc[0, b]!r}, nearest-rq gap {gap!r}) — "
+                    "outside every documented deviation class"
+                )
+                n_checked += 1
+        # The sweep must actually exercise the deviation classes, not
+        # vacuously pass on identical LUTs.
+        assert n_checked > 0
+
+
 def test_histogram_256_pad_independent_past_2pow24():
     """The chunk-pad correction must happen in the INTEGER domain: an
     f32-domain subtract makes bin 0 pad-dependent past 2²⁴ pixels
