@@ -3,9 +3,13 @@
 The reference ships a torch ``nn.Module`` transform for torchvision
 pipelines (``src/stainx/transforms.py:26-230``). For users migrating such a
 pipeline, :class:`TorchStainNormalizerTransform` wraps the JAX transform in
-an ``nn.Module``: torch CPU tensors convert zero-copy to numpy, the compute
-runs on the JAX device, and results come back as torch tensors with the
-input's dtype and layout. (New code should prefer
+an ``nn.Module``: torch tensors convert to numpy on the host, the compute
+runs on the JAX device, and results come back as CPU torch tensors with
+the inner transform's value-range contract — which, exactly like the
+reference's module, is NOT always the input dtype: ``method="macenko"``
+defaults to ``normalize_to_0_1=True``, so uint8 in → float32 [0, 1] out
+(pass ``normalize_to_0_1=False`` for [0, 255]-valued output). A CUDA
+input comes back on CPU; move it if needed. (New code should prefer
 :class:`stainx_tpu.StainNormalizerTransform` directly.)
 
 torch is an optional dependency — importing this module without torch

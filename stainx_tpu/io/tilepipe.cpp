@@ -97,6 +97,11 @@ struct Pipe {
 extern "C" {
 
 void* tp_open(size_t slot_bytes, int n_slots, int n_threads) {
+    // Reject degenerate configurations at the boundary: zero threads turns
+    // the first tp_wait into a permanent deadlock (work enqueued, nobody
+    // to drain it), and a negative n_slots casts to a huge size_t vector
+    // size (std::bad_alloc escaping the C ABI) — review findings.
+    if (slot_bytes == 0 || n_slots < 1 || n_threads < 1) return nullptr;
     auto* p = new Pipe();
     p->slot_bytes = slot_bytes;
     p->slots = std::vector<Slot>(static_cast<size_t>(n_slots));

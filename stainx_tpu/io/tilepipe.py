@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import ctypes
 import math
+import os
 import subprocess
 from collections.abc import Iterator, Sequence
 from pathlib import Path
@@ -29,14 +30,25 @@ def _load_library():
         return _lib
     try:
         if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-            subprocess.run(
-                [
-                    "g++", "-O2", "-shared", "-fPIC", "-pthread", "-std=c++17",
-                    str(_SRC), "-o", str(_LIB),
-                ],
-                check=True,
-                capture_output=True,
-            )
+            # Compile to a per-PID temp path and os.replace into place:
+            # compiling straight onto the final path races concurrent
+            # processes (one can CDLL a half-written ELF, and rewriting a
+            # .so another process has mapped risks SIGBUS). The atomic
+            # rename swaps the directory entry only — any already-mapped
+            # old inode stays valid for its holder (review finding).
+            tmp = _LIB.with_name(f"_tilepipe.{os.getpid()}.so.tmp")
+            try:
+                subprocess.run(
+                    [
+                        "g++", "-O2", "-shared", "-fPIC", "-pthread", "-std=c++17",
+                        str(_SRC), "-o", str(tmp),
+                    ],
+                    check=True,
+                    capture_output=True,
+                )
+                os.replace(tmp, _LIB)
+            finally:
+                tmp.unlink(missing_ok=True)
         lib = ctypes.CDLL(str(_LIB))
         lib.tp_open.restype = ctypes.c_void_p
         lib.tp_open.argtypes = [ctypes.c_size_t, ctypes.c_int, ctypes.c_int]
@@ -65,6 +77,14 @@ class TilePipe:
     """Low-level handle: N pre-allocated slots + reader-thread pool."""
 
     def __init__(self, slot_bytes: int, n_slots: int = 2, n_threads: int = 4):
+        if slot_bytes <= 0 or n_slots < 1 or n_threads < 1:
+            # tp_open also rejects these (returning null), but the Python
+            # boundary owes the actionable message: zero threads would
+            # otherwise deadlock the first wait() forever (review finding).
+            raise ValueError(
+                f"tilepipe needs slot_bytes > 0, n_slots >= 1, n_threads >= 1 "
+                f"(got {slot_bytes}, {n_slots}, {n_threads})"
+            )
         lib = _load_library()
         if lib is None:
             raise RuntimeError(f"tilepipe native library unavailable ({_build_error})")
@@ -76,9 +96,11 @@ class TilePipe:
             raise MemoryError("tilepipe: slot allocation failed")
 
     def enqueue(self, slot: int, files: Sequence[str], offsets: Sequence[int], lengths: Sequence[int]) -> None:
-        """Start async reads of ``files`` into ``slot`` at byte ``offsets``."""
+        """Start async reads of ``files`` into ``slot`` at byte ``offsets``.
+        Entries may be anything ``os.fspath`` accepts (str / Path) — the
+        numpy fallback accepts Paths, so the native path must too."""
         n = len(files)
-        paths_blob = b"\0".join(p.encode() for p in files) + b"\0"
+        paths_blob = b"\0".join(os.fspath(p).encode() for p in files) + b"\0"
         off = (ctypes.c_uint64 * n)(*offsets)
         lng = (ctypes.c_uint64 * n)(*lengths)
         rc = self._lib.tp_enqueue(self._handle, slot, paths_blob, off, lng, n)
@@ -115,8 +137,12 @@ class RawTileLoader:
     Each file holds one tile of ``tile_shape`` bytes (C-order uint8). While
     batch k is being consumed (e.g. computing on the TPU), the reader
     threads fill batch k+1 — the DataLoader-prefetch pattern without Python
-    workers. Yields zero-copy ``(B, *tile_shape)`` views; copy if a batch
-    must outlive the next iteration.
+    workers. Yields zero-copy ``(B, *tile_shape)`` views into the slot
+    buffers: each view is valid only until its slot is refilled (two
+    iterations later) and ALL views die when iteration ends (the buffers
+    are freed) — copy any batch that must outlive that. The FINAL batch is
+    yielded as a copy, so the natural ``[b for b in loader]`` pattern never
+    holds a freed pointer it was not warned about (review finding).
     """
 
     def __init__(
@@ -158,7 +184,11 @@ class RawTileLoader:
                 pipe.wait(slot)
                 view = pipe.buffer(slot)[: len(batch) * self.tile_bytes]
                 out = view.reshape((len(batch),) + self.tile_shape)
-                yield out
+                # The final batch's view would dangle the moment the loop
+                # finishes (close() frees the slot memory) — it never gets
+                # the "next iteration" the zero-copy contract is scoped to,
+                # so hand it out as a copy (class docstring).
+                yield out.copy() if i == len(batches) - 1 else out
                 # Refill this slot with the batch two steps ahead.
                 nxt = i + 2
                 if nxt < len(batches):

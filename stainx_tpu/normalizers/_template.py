@@ -109,7 +109,14 @@ class NormalizerTemplate(StainNormalizerBase):
         if not self._is_fitted:
             raise ValueError("Must call fit() before transform()")
         images = self._as_device_array(images)
-        result = self._transform_impl(images)
+        return self._finalize_range(self._transform_impl(images))
+
+    def _finalize_range(self, result: jnp.ndarray) -> jnp.ndarray:
+        """The single definition of the output value-range contract
+        (``normalize_to_0_1`` → /255, ``_template.py:108-111``): shared by
+        :meth:`transform` and the mesh path in ``transforms.py``, which
+        bypasses :meth:`transform` entirely — two copies of the /255 rule
+        would silently diverge (review finding)."""
         if getattr(self, "normalize_to_0_1", False):
             result = result / 255.0
         return result

@@ -70,20 +70,27 @@ class Macenko(NormalizerTemplate):
         )
         self._concentration_matrix = None
 
-    def _transform_impl(self, images: jnp.ndarray) -> jnp.ndarray:
-        self._validate_layout(images, "transform")
-        if tuple(self._stain_matrix.shape) != (3, 2):
+    def _validate_fitted_params(self) -> None:
+        """Gate load_state-restored shapes at the API boundary, not deep
+        inside the jitted pipeline (a scalar indexed tmc[1] there; a (3,)
+        maxC silently dropped its third entry — round-3 review finding).
+        Shared by the single-device transform and the mesh path, which
+        feeds the raw fitted state to ``transform_on_mesh`` and would
+        otherwise re-expose the silent-drop bug this gate closed."""
+        if tuple(jnp.asarray(self._stain_matrix).shape) != (3, 2):
             raise ValueError(
-                f"stain_matrix must have shape (3, 2), got {tuple(self._stain_matrix.shape)}"
+                f"stain_matrix must have shape (3, 2), got "
+                f"{tuple(jnp.asarray(self._stain_matrix).shape)}"
             )
         tmc = jnp.asarray(self._target_max_conc)
         if tmc.size != 2:
-            # Gate load_state-restored shapes here, not deep inside the
-            # jitted pipeline (a scalar indexed tmc[1] there; a (3,) maxC
-            # silently dropped its third entry — round-3 review finding).
             raise ValueError(
                 f"target_max_conc must have 2 entries (one per stain), got shape {tuple(tmc.shape)}"
             )
+
+    def _transform_impl(self, images: jnp.ndarray) -> jnp.ndarray:
+        self._validate_layout(images, "transform")
+        self._validate_fitted_params()
         return macenko_ops.macenko_transform(
             images,
             self._stain_matrix,

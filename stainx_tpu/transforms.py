@@ -223,13 +223,34 @@ class StainNormalizerTransform:
         return jax.device_put(images, target)
 
     def fit_reference(self, reference: Any) -> "StainNormalizerTransform":
-        """Fit the underlying normalizer on a reference image or batch."""
+        """Fit the underlying normalizer on a reference image or batch.
+
+        With ``pixel_axis`` set the fit runs PIXEL-SHARDED on the mesh:
+        pixel sharding exists because one image can exceed a chip, so the
+        reference image must not be device_put whole onto one device —
+        the same reasoning as the batch-mode designated-reference fit
+        (round-3 review finding, both call sites)."""
+        if self.mesh is not None and self.pixel_axis is not None:
+            from stainx_tpu import parallel
+
+            ref = self._validate_layout(reference)
+            method = self._method_name()
+            params = parallel.fit_on_mesh(
+                method, ref, self.mesh, pixel_axis=self.pixel_axis
+            )
+            self._store_mesh_params(method, params)
+            return self
         ref = self._prepare(reference)
         self.normalizer.fit(ref)
         return self
 
     def __call__(self, img: Any) -> jnp.ndarray:
-        was_single = hasattr(img, "ndim") and img.ndim == 3
+        # Convert BEFORE the single-image check: a 3D array-like without
+        # .ndim (nested lists) otherwise came back batched as 4D where the
+        # identical np.asarray input came back 3D (round-3 review finding).
+        if not isinstance(img, jnp.ndarray) and not hasattr(img, "ndim"):
+            img = np.asarray(img)
+        was_single = img.ndim == 3
         if self.mesh is not None:
             result = self._forward_on_mesh(img)
             return result[0] if was_single else result
@@ -262,19 +283,30 @@ class StainNormalizerTransform:
     def _mesh_params(self, method: str):
         n = self.normalizer
         if method == "macenko":
+            # Same fitted-state shape gates as the single-device transform:
+            # the mesh path feeds these straight to transform_on_mesh, which
+            # would silently drop a (3,)-maxC's third entry (round-3 review
+            # finding — the gate exists for exactly that bug).
+            n._validate_fitted_params()
             return (n._stain_matrix, n._target_max_conc)
         if method == "reinhard":
             return (n._reference_mean, n._reference_std)
         return n._ref_histograms_256
 
     def _store_mesh_params(self, method: str, params) -> None:
+        # fit_on_mesh outputs are replicated across EVERY mesh device;
+        # stored fitted state must stay usable by the single-device path
+        # (a later normalizer.transform() jitted 8-device params against a
+        # 1-device input and raised 'incompatible devices' — round-3
+        # review repro), so pull each param to the normalizer's device.
         n = self.normalizer
+        put = lambda p: jax.device_put(p, n.device)  # noqa: E731
         if method == "macenko":
-            n._stain_matrix, n._target_max_conc = params
+            n._stain_matrix, n._target_max_conc = put(params[0]), put(params[1])
         elif method == "reinhard":
-            n._reference_mean, n._reference_std = params
+            n._reference_mean, n._reference_std = put(params[0]), put(params[1])
         else:
-            n._ref_histograms_256 = params
+            n._ref_histograms_256 = put(params)
         n._is_fitted = True
 
     def _forward_on_mesh(self, img: Any) -> jnp.ndarray:
@@ -328,9 +360,9 @@ class StainNormalizerTransform:
         result = parallel.transform_on_mesh(
             method, img, params, self.mesh, pixel_axis=self.pixel_axis, **kwargs
         )
-        if getattr(self.normalizer, "normalize_to_0_1", False):
-            result = result / 255.0
-        return result
+        # One definition of the value-range contract (the mesh path bypasses
+        # NormalizerTemplate.transform).
+        return self.normalizer._finalize_range(result)
 
     # torch-style alias so existing pipelines can call .forward(...)
     forward = __call__

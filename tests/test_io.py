@@ -84,6 +84,50 @@ def test_feeds_normalizer(tile_dir):
         assert out.shape == batch.shape
 
 
+def test_path_entries_accepted(tile_dir):
+    """pathlib.Path entries must work on BOTH paths — the numpy fallback
+    always accepted them; the native enqueue crashed on .encode()
+    (round-3 review finding: environment-dependent behavior)."""
+    from pathlib import Path
+
+    shape, tiles = tile_dir
+    loader = RawTileLoader([Path(p) for p, _ in tiles], tile_shape=shape, batch_size=4)
+    seen = 0
+    for batch in loader:
+        for row in batch:
+            np.testing.assert_array_equal(row, tiles[seen][1])
+            seen += 1
+    assert seen == 11
+
+
+def test_collected_batches_final_is_owned(tile_dir):
+    """The FINAL batch is yielded as a copy: in the natural
+    ``[b for b in loader]`` pattern it would otherwise alias freed slot
+    memory the moment iteration ends (round-3 review finding). Earlier
+    batches remain zero-copy views per the documented contract."""
+    shape, tiles = tile_dir
+    loader = RawTileLoader([p for p, _ in tiles], tile_shape=shape, batch_size=4)
+    batches = [b for b in loader]
+    # The final batch must still read back correctly AFTER the pipe closed.
+    last = batches[-1]
+    np.testing.assert_array_equal(last[-1], tiles[-1][1])
+    assert last.flags.owndata or last.base is None or not tilepipe_available()
+
+
+def test_degenerate_pipe_args_rejected():
+    """slot_bytes<=0 / n_slots<1 / n_threads<1 raise an actionable
+    ValueError instead of allocating nothing and deadlocking the first
+    wait() forever (round-3 review finding)."""
+    for kwargs in (
+        dict(slot_bytes=0),
+        dict(slot_bytes=64, n_slots=0),
+        dict(slot_bytes=64, n_threads=0),
+        dict(slot_bytes=64, n_slots=-1),
+    ):
+        with pytest.raises(ValueError, match="tilepipe needs"):
+            TilePipe(**kwargs)
+
+
 def test_invalid_slot_raises_not_ub():
     """tp_wait / tp_buffer bounds-check the slot index (a bad slot from the
     public TilePipe API previously indexed out of bounds in native code)."""

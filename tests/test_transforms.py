@@ -176,6 +176,47 @@ class TestMeshExecution:
         # fitted state was stored back onto the normalizer
         assert t.normalizer._stain_matrix.shape == (3, 2)
 
+    def test_mesh_fit_state_usable_single_device(self, mesh, big_batch):
+        """A whole-batch mesh fit stores params replicated on every mesh
+        device; a LATER single-device normalizer.transform() must still
+        work (round-3 review repro: 'incompatible devices' — params now
+        pull to the normalizer's device on store)."""
+        t = StainNormalizerTransform(
+            method="macenko", mode="batch", batch_ref_index=None, mesh=mesh, device="cpu"
+        )
+        t(big_batch)
+        out = np.asarray(t.normalizer.transform(big_batch[:1]))
+        assert np.isfinite(out.astype(np.float32)).all()
+
+    def test_mesh_path_gates_malformed_restored_state(self, mesh, big_batch):
+        """The mesh transform must enforce the same fitted-state shape
+        gates as the single-device path: a (3,)-target_max_conc silently
+        dropped its third entry through transform_on_mesh (round-3 review
+        repro of the exact bug the single-device gate was added for)."""
+        from stainx_tpu import Macenko
+
+        m = Macenko(device="cpu")
+        m.load_state(
+            {
+                "_stain_matrix": np.full((3, 2), 0.5, np.float32),
+                "_target_max_conc": np.ones((3,), np.float32),
+            }
+        )
+        t = StainNormalizerTransform(normalizer=m, mode="reference", mesh=mesh, device="cpu")
+        with pytest.raises(ValueError, match="target_max_conc"):
+            t(big_batch)
+
+    def test_single_image_as_nested_list_squeezes(self, he_ref):
+        """A 3D array-like WITHOUT .ndim (nested lists) must squeeze back
+        to 3D like the identical np.asarray input (round-3 review: the
+        hasattr-based check returned a 4D batch for one, 3D for the
+        other)."""
+        t = StainNormalizerTransform(method="reinhard", reference=he_ref, device="cpu")
+        img = he_ref[0]  # (3, H, W)
+        out_arr = np.asarray(t(img))
+        out_list = np.asarray(t(img.tolist()))
+        assert out_arr.shape == out_list.shape == img.shape
+
     def test_hm_restored_1d_reference_state_works_on_mesh(self, mesh, he_ref, big_batch):
         """A load_state-restored 1D 256-bin reference (a form the
         single-device path coerces and broadcasts) must work identically
