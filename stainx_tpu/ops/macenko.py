@@ -228,7 +228,7 @@ def _stream_select(xs, ranks2d, n_valid):
 
 
 def _stain_separate(
-    od_c, mask: jnp.ndarray, cnt: jnp.ndarray, proj_dtype, levels: int = 12,
+    od_c, mask: jnp.ndarray, cnt: jnp.ndarray, proj_dtype, levels: int = 8,
     use_pallas: bool = False,
 ):
     """Shared fit/transform core: masked covariance → stain plane → φ
@@ -392,7 +392,7 @@ def macenko_transform(
     # since the projection fuses into the selection's first pass anyway.
     fast = precision == "fast"
     recon_dtype = jnp.bfloat16 if fast else jnp.float32
-    levels = 4 if fast else 12  # 12 = adaptive-exact cap; 4 caps fast's depth
+    levels = 4 if fast else 8  # 8 = key-space exact bound; 4 caps fast's depth
     he, _ = _stain_separate(
         od_c, eff_mask, cnt_eff, jnp.float32, levels=levels, use_pallas=use_pallas
     )

@@ -97,7 +97,15 @@ class StainNormalizerTransform:
                 # prebuilt normalizer's backend with no error (round-3
                 # review finding); set_backend applies the template's own
                 # validation (legacy-name / availability errors included).
-                self.normalizer.set_backend(backend)
+                setter = getattr(self.normalizer, "set_backend", None)
+                if setter is None:
+                    raise ValueError(
+                        f"backend={backend!r} cannot be applied to a prebuilt "
+                        f"normalizer of type {type(self.normalizer).__name__} "
+                        "(no set_backend method). Construct the normalizer "
+                        "with the desired backend, or omit backend= here."
+                    )
+                setter(backend)
             if isinstance(self.normalizer, Macenko):
                 if explicit_n01 is not None:
                     self.normalizer.normalize_to_0_1 = bool(explicit_n01)

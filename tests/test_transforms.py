@@ -316,6 +316,21 @@ class TestBackendStickiness:
         with pytest.raises(ValueError, match="torch-era"):
             StainNormalizerTransform(normalizer=norm, backend="torch_cuda", device="cpu")
 
+    def test_explicit_backend_with_ducktyped_normalizer_raises(self):
+        """normalizer= is typed Any: a user object exposing fit/transform
+        but no set_backend must get an actionable ValueError when combined
+        with backend=, not a bare AttributeError (round-3 review)."""
+
+        class Duck:
+            def fit(self, images):
+                return self
+
+            def transform(self, images):
+                return images
+
+        with pytest.raises(ValueError, match="set_backend"):
+            StainNormalizerTransform(normalizer=Duck(), backend="xla")
+
     def test_host_array_input_preserves_pinned_normalizer_device(self, he_ref):
         """A numpy batch through a transform with device=None must NOT
         migrate an explicitly pinned normalizer to jax.devices()[0]: the
