@@ -18,6 +18,7 @@ factor → 291 MPix/s as the denominator. ``vs_baseline`` > 5 ⇒ target met.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -30,6 +31,19 @@ SIZE = 512
 WARMUP = 5
 RUNS = 40
 
+# Repo-committed persistent compile cache (bench_cache/): /tmp is wiped on
+# machine restart, which made the round-3 driver run compile from scratch and
+# time out (BENCH_r03.json rc=124) before the JSON line printed.  The cache
+# entries are keyed on the traced HLO + compile options, so they stay valid as
+# long as the benched computation itself is unchanged; re-populate by running
+# `python bench.py` on the TPU and committing the new files.
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_cache")
+
+# If reaching the post-compile point took longer than this, we were cold —
+# print a provisional JSON line from a short measurement immediately so a
+# driver-side timeout kill still captures a real number, then refine.
+COLD_START_S = 60.0
+
 
 def _synthetic_he(n: int, h: int, w: int, seed: int = 0) -> np.ndarray:
     # Single source of truth for the Beer–Lambert fixtures — the fresh-data
@@ -40,11 +54,13 @@ def _synthetic_he(n: int, h: int, w: int, seed: int = 0) -> np.ndarray:
 
 
 def main() -> None:
+    t_start = time.perf_counter()
+
     import jax
 
     # Persist compiled executables across runs — remote/first-time TPU
-    # compiles of the full pipeline are expensive.
-    jax.config.update("jax_compilation_cache_dir", "/tmp/stainx_jax_cache")
+    # compiles of the full pipeline are expensive (minutes through the relay).
+    jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import jax.numpy as jnp
@@ -109,14 +125,41 @@ def main() -> None:
         assert checksum == checksum, "NaN checksum"
         return time.perf_counter() - start
 
+    mpix = BATCH * SIZE * SIZE / 1e6
+
+    def emit(mpix_per_s: float) -> None:
+        print(
+            json.dumps(
+                {
+                    "metric": "macenko_transform_512px_mpix_per_s_per_chip",
+                    "value": round(mpix_per_s, 2),
+                    "unit": "MPix/s/chip",
+                    "vs_baseline": round(mpix_per_s / BASELINE_MPIX_PER_S, 3),
+                }
+            ),
+            flush=True,
+        )
+
     y, _ = step(batch, tok0)  # compile + warm
     float(probe(y))
     run(1)
+
+    if time.perf_counter() - t_start > COLD_START_S:
+        # Cold compile ate the budget: a driver timeout may kill us mid-refine,
+        # so get a real (if less averaged) number onto stdout right now.
+        quick_runs = 8
+        quick = max(run(1 + quick_runs) - run(1), 1e-9)
+        print(
+            f"cold start ({time.perf_counter() - t_start:.0f}s to first measurement); "
+            f"provisional from 1x{quick_runs} runs",
+            file=sys.stderr,
+        )
+        emit(mpix * quick_runs / quick)
+
     base = min(run(1) for _ in range(3))
     total = min(run(1 + RUNS) for _ in range(3))
     elapsed = max(total - base, 1e-9)
 
-    mpix = BATCH * SIZE * SIZE / 1e6
     mpix_per_s = mpix * RUNS / elapsed
     img_per_s = BATCH * RUNS / elapsed
     print(
@@ -124,17 +167,7 @@ def main() -> None:
         f"{img_per_s:.0f} img/s, {mpix_per_s:.1f} MPix/s",
         file=sys.stderr,
     )
-
-    print(
-        json.dumps(
-            {
-                "metric": "macenko_transform_512px_mpix_per_s_per_chip",
-                "value": round(mpix_per_s, 2),
-                "unit": "MPix/s/chip",
-                "vs_baseline": round(mpix_per_s / BASELINE_MPIX_PER_S, 3),
-            }
-        )
-    )
+    emit(mpix_per_s)
 
 
 if __name__ == "__main__":
