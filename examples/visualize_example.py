@@ -3,12 +3,15 @@ reference's ``examples/simple_example.py:139-259`` (argparse method choice,
 ``--data-dir`` with ``target.png`` + ``test_*.png``, timed transform,
 side-by-side panel saved per method).
 
-Real data: pass ``--data-dir`` pointing at a directory with a ``target.png``
-reference tile plus source tiles (any PNG/JPEG). When the upstream repo is
-mounted (development environments), its ``examples/data`` H&E tiles are
-auto-discovered; the images are only READ at runtime, never vendored. With
-no real data available the example falls back to synthetic Beer–Lambert
-tiles so it always runs.
+Data: pass ``--data-dir`` pointing at a directory with a ``target.png``
+reference tile plus source tiles (any PNG/JPEG). By default the committed
+hermetic tiles under ``examples/data/`` (synthetic H&E renders with
+background + nuclei structure, see ``examples/make_data.py``) are used, so
+the example is self-contained; when the upstream repo is mounted
+(development environments) and the local tiles are absent, its
+``examples/data`` H&E tiles are auto-discovered — READ at runtime, never
+vendored. As a last resort the example falls back to in-memory synthetic
+Beer–Lambert tiles so it always runs.
 
 Run::
 
@@ -29,6 +32,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
+_LOCAL_DATA = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
 _REFERENCE_DATA = "/root/reference/examples/data"
 
 
@@ -42,8 +46,13 @@ def _load_png(path: str) -> np.ndarray:
 
 def discover_data(data_dir: str | None) -> tuple[np.ndarray, list[np.ndarray], list[str], str]:
     """Return (reference, [sources...], names, origin)."""
-    if data_dir is None and os.path.isdir(_REFERENCE_DATA):
-        data_dir = _REFERENCE_DATA
+    if data_dir is None:
+        # Committed hermetic tiles first (examples/make_data.py), then the
+        # upstream mount's real tiles if present (dev environments only).
+        for cand in (_LOCAL_DATA, _REFERENCE_DATA):
+            if os.path.isfile(os.path.join(cand, "target.png")):
+                data_dir = cand
+                break
     if data_dir and os.path.isfile(os.path.join(data_dir, "target.png")):
         ref = _load_png(os.path.join(data_dir, "target.png"))
         paths = sorted(

@@ -36,6 +36,13 @@ class Macenko(NormalizerTemplate):
         (whose "fast" needed the CUDA extension), both precisions work on
         every backend because bf16 is native to TPU and supported by XLA on
         CPU.
+
+        On the TPU ``pallas`` backend (the auto-selected default on TPU)
+        ``fast`` is a **no-op**: the fused kernels are exact and already
+        faster than any reduced-precision variant, so both modes route to
+        the same kernel (``ops/macenko.py``). Expect a speedup from
+        ``fast`` only on the ``xla``/jnp path, where it measures ~1.46×
+        (see ``docs/benchmarks.md``).
     """
 
     def __init__(

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 from stainx_tpu.ops import color
 from stainx_tpu.ops.eigh3 import eigh3_top2
 from stainx_tpu.ops.percentile import (
+    _MAX_LEVELS,
     kth_smallest,
     nearest_rank_index,
     static_nearest_rank_index,
@@ -228,8 +229,8 @@ def _stream_select(xs, ranks2d, n_valid):
 
 
 def _stain_separate(
-    od_c, mask: jnp.ndarray, cnt: jnp.ndarray, proj_dtype, levels: int = 8,
-    use_pallas: bool = False,
+    od_c, mask: jnp.ndarray, cnt: jnp.ndarray, proj_dtype,
+    levels: int = _MAX_LEVELS, use_pallas: bool = False,
 ):
     """Shared fit/transform core: masked covariance → stain plane → φ
     percentile extremes → ordered H/E matrix. Returns (HE, evecs)."""
@@ -392,7 +393,8 @@ def macenko_transform(
     # since the projection fuses into the selection's first pass anyway.
     fast = precision == "fast"
     recon_dtype = jnp.bfloat16 if fast else jnp.float32
-    levels = 4 if fast else 8  # 8 = key-space exact bound; 4 caps fast's depth
+    # _MAX_LEVELS = key-space exact bound (percentile.py); 4 caps fast's depth
+    levels = 4 if fast else _MAX_LEVELS
     he, _ = _stain_separate(
         od_c, eff_mask, cnt_eff, jnp.float32, levels=levels, use_pallas=use_pallas
     )
