@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: install install-dev test test-tpu bench lint fix docs clean
+.PHONY: install install-dev test test-tpu bench lint fix docs docs-api clean
 
 install:
 	$(PY) -m pip install -e .
@@ -23,6 +23,14 @@ bench:
 
 grid:
 	$(PY) -m benchmarks.benchmark_grid --method macenko
+
+# Regenerate docs/api/*.md from the live docstrings (sync-gated by
+# tests/test_docs_api.py).
+docs-api:
+	$(PY) docs/gen_api.py
+
+docs:
+	$(PY) -m mkdocs build --strict
 
 lint:
 	$(PY) -m ruff check stainx_tpu tests benchmarks examples
