@@ -31,7 +31,7 @@ def main() -> None:
         default=["dep", "ikdep", "interval"],
         choices=[
             "dep", "ikdep", "cum16", "cum256", "spec6", "spec4", "nocon", "defer",
-            "interval", "interval8", "interval16", "interval256", "auto",
+            "interval", "interval8", "interval16", "interval256", "sint", "auto",
         ],
     )
     args = ap.parse_args()

@@ -166,14 +166,46 @@ def _dir_from_pseudo(p):
     return u * inv, v * inv
 
 
+def _select_seeded(selects, seed_slots, seed_ref):
+    """Keyed rank select with cross-image seeding: probe first around the
+    PREVIOUS grid step's terminal keys for the same slots (batch images
+    share a staining distribution, so percentiles drift little image to
+    image), then store this image's terminals for the next step. The
+    scratch persists across grid steps (sequential on the core); step 0
+    marks its seeds invalid and descends normally. Seeds only place probe
+    cuts — counts stay exact, so results are bit-identical to every other
+    descent mode (the ablation harness asserts it). Modes without an
+    exact-terminal exit ignore the seed path entirely."""
+    valid = pl.program_id(0) > 0
+    seeds = [(seed_ref[s], valid) for s in seed_slots]
+    try:
+        results, terminal = radix_select_multi(
+            selects, keyed=True, seeds=seeds, want_terminal=True
+        )
+    except NotImplementedError:  # member-path modes (nocon/defer)
+        return radix_select_multi(selects, keyed=True)
+    for s, t in zip(seed_slots, terminal):
+        seed_ref[s] = t
+    return results
+
+
 def _mega_kernel(
-    params_ref, x_ref, out_ref, *, is_uint8: bool, p_true: int, alpha: int, idx_hi_conc: int
+    params_ref,
+    x_ref,
+    out_ref,
+    seed_ref,
+    *,
+    is_uint8: bool,
+    p_true: int,
+    alpha: int,
+    idx_hi_conc: int,
 ):
     """The ENTIRE per-image Macenko transform in one grid step: the row is
     loaded once, every statistic/selection/reconstruction happens in VMEM,
     and the only HBM write is the output row. Per-image indexing lives in
     the BlockSpec index_maps — the kernel body itself is image-agnostic
-    (all refs are block-local)."""
+    (all refs are block-local) except for the cross-image seed scratch
+    (:func:`_select_seeded`)."""
     od = _od_planes(x_ref, is_uint8)
     s, lane = od[0].shape
     idx = jax.lax.broadcasted_iota(jnp.int32, (s, lane), 0) * lane + jax.lax.broadcasted_iota(
@@ -233,8 +265,8 @@ def _mega_kernel(
     r_lo = nearest_rank_index(alpha, cnt_i)
     r_hi = nearest_rank_index(100 - alpha, cnt_i)
 
-    phi_results = radix_select_multi(
-        [(key, r_lo, (pseudo,)), (key, r_hi, (pseudo,))], keyed=True
+    phi_results = _select_seeded(
+        [(key, r_lo, (pseudo,)), (key, r_hi, (pseudo,))], (0, 1), seed_ref
     )
     cos_lo, sin_lo = _dir_from_pseudo(phi_results[0][0])
     cos_hi, sin_hi = _dir_from_pseudo(phi_results[1][0])
@@ -258,12 +290,13 @@ def _mega_kernel(
     c0 = od[0] * m0[0] + od[1] * m0[1] + od[2] * m0[2]
     c1 = od[0] * m1[0] + od[1] * m1[1] + od[2] * m1[2]
     rank_hi = jnp.int32(idx_hi_conc)
-    c_results = radix_select_multi(
+    c_results = _select_seeded(
         [
             (_monotone_key(jnp.where(in_image, c0, jnp.inf)), rank_hi, (c0,)),
             (_monotone_key(jnp.where(in_image, c1, jnp.inf)), rank_hi, (c1,)),
         ],
-        keyed=True,
+        (2, 3),
+        seed_ref,
     )
     (maxc0,), (maxc1,) = c_results
 
@@ -315,6 +348,9 @@ def macenko_transform_mega(images, stain_matrix, target_max_conc, interpret: boo
         out_specs=pl.BlockSpec(
             (1, 3, s, _LANE), lambda i, params: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
+        # Cross-image seed scratch (4 terminal keys: φ lo/hi, c0/c1 maxes) —
+        # persists across the sequential grid steps; see _select_seeded.
+        scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
     )
     kernel = functools.partial(
         _mega_kernel,

@@ -251,7 +251,7 @@ def radix_descend_multi(selects, mode: str | None = None):
     if selects:
         k0 = selects[0][0]
         mode = _resolve_auto(mode, int(k0.shape[0]) * int(k0.shape[1]))
-    if mode.startswith("interval"):
+    if mode.startswith("interval") or mode == "sint":
         # This function IS the radix implementation; standalone callers
         # (per the docstring contract) still get a working descent when
         # the auto ladder would pick the interval form — ikdep is the
@@ -754,7 +754,17 @@ def _insert_sorted(sorted_vals, x):
     return out
 
 
-def interval_descend_multi(selects, n_cuts: int = 4):
+# Seeded first-iteration cut offsets, in monotone-key integer units (ULP
+# counts — a fixed key offset is a fixed RELATIVE float neighborhood:
+# 2^19 ulps ≈ ±4.4%, 2^16 ≈ ±0.55%, 2^13 ≈ ±0.07% around any normal f32).
+# Chosen to bracket the typical image-to-image drift of a stain percentile
+# within one batch at three scales; a drift outside the wide bracket only
+# costs the descent its usual iterations (cuts are probes, never
+# assumptions).
+_SEED_DELTAS = (1 << 19, 1 << 16)
+
+
+def interval_descend_multi(selects, n_cuts: int = 4, seeds=None):
     """Fused rank selection by **interval descent** on the signed key view:
     interpolation search with a bisection guarantee, no radix structure.
 
@@ -779,6 +789,15 @@ def interval_descend_multi(selects, n_cuts: int = 4):
     rather than nibble-resolution, and iteration cost is the same single
     sync. Bit-exact: counts are exact, cuts are only probes, and the
     terminal ``klo == khi`` means every member is bit-identical.
+
+    ``seeds`` (optional): per-descent ``(ik_seed, valid)`` scalar pairs —
+    a guess at the selected element's signed key (e.g. the SAME rank's
+    result on the previous image of a batch, carried in kernel scratch).
+    When given, ONE extra unrolled iteration runs first with cuts
+    clustered around the seed at the two ``_SEED_DELTA`` scales (plus the
+    midpoint, keeping the bisection guarantee); an invalid seed falls
+    back to that iteration's standard cuts. Counts stay exact, so seeding
+    affects iteration count only — never the selected element.
 
     Returns per-descent ``(ik, klo)`` — resolve members with ``ik == klo``.
     """
@@ -811,7 +830,7 @@ def interval_descend_multi(selects, n_cuts: int = 4):
             alive = alive | jnp.logical_not(state[_S * d + 4])
         return alive
 
-    def body(state):
+    def body(state, seeded: bool = False):
         new_state = []
         for d in range(n_sel):
             klo, khi, r, n, done = state[_S * d : _S * d + _S]
@@ -832,7 +851,26 @@ def interval_descend_multi(selects, n_cuts: int = 4):
                     jnp.clip(x, fklo, fkhi).astype(jnp.int32), klo, khi - 1
                 )
 
-            if n_cuts == 4:
+            if seeded:
+                # Unrolled first iteration: probe around the seed key at the
+                # two drift scales + a coarse interpolation cluster as the
+                # invalid-seed fallback + mid (bisection guarantee). Clamp
+                # before offsetting so s ± Δ cannot wrap int32.
+                s, valid = seeds[d]
+                lim = jnp.int32(1 << 20)
+                s = jnp.clip(s, jnp.int32(-0x80000000) + lim, jnp.int32(0x7FFFFFFF) - lim)
+                offsets = [-o for o in _SEED_DELTAS] + [0] + list(_SEED_DELTAS)
+                k = len(offsets)
+                fallback = [
+                    toi(c_hat + (m - (k - 1) / 2.0) * w) for m in range(k)
+                ]
+                seeded_cuts = [
+                    jnp.clip(s + jnp.int32(off), klo, khi - 1) for off in offsets
+                ]
+                raw = [
+                    jnp.where(valid, sc, fb) for sc, fb in zip(seeded_cuts, fallback)
+                ] + [mid]
+            elif n_cuts == 4:
                 raw = [toi(c_hat - w), toi(c_hat), toi(c_hat + w), mid]
             elif n_cuts == 16:
                 # Full 16-ary ladder (VERDICT-r2 "full-count" experiment in
@@ -896,6 +934,18 @@ def interval_descend_multi(selects, n_cuts: int = 4):
             )
         return tuple(new_state)
 
+    if seeds is not None:
+        # Guarded like the mega kernel's <3-pixel moments fallback: on
+        # all-done-at-init rows (uniform/background tiles — every member
+        # bit-identical) the untaken branch's row passes ARE skipped by
+        # Mosaic, so such rows keep their descend-free fast exit instead
+        # of paying the unrolled seeded iteration.
+        state = jax.lax.cond(
+            cond(tuple(state)),
+            lambda st: tuple(body(st, seeded=True)),
+            lambda st: st,
+            tuple(state),
+        )
     state = jax.lax.while_loop(cond, body, tuple(state))
     return [(iks[d], state[_S * d]) for d in range(n_sel)]
 
@@ -907,7 +957,13 @@ def member_mask(key, prefix, it):
     return jax.lax.shift_right_logical(key, jnp.broadcast_to(shift, key.shape)) == prefix
 
 
-def radix_select_multi(selects, keyed: bool = False, mode: str | None = None):
+def radix_select_multi(
+    selects,
+    keyed: bool = False,
+    mode: str | None = None,
+    seeds=None,
+    want_terminal: bool = False,
+):
     """Run several radix descents in ONE while loop.
 
     ``selects``: list of ``(key, rank, fields)`` — ``key`` uint32 monotone
@@ -945,21 +1001,36 @@ def radix_select_multi(selects, keyed: bool = False, mode: str | None = None):
         mode = DESCENT_MODE
     if selects:
         k0 = selects[0][0]
-        mode = _resolve_auto(mode, int(k0.shape[0]) * int(k0.shape[1]))
-    if mode.startswith("interval"):
-        n_cuts = int(mode[len("interval") :] or 4)
+        elems = int(k0.shape[0]) * int(k0.shape[1])
+        # "auto" + seeds ⇒ the seeded interval descent, at every size whose
+        # hoisted-ik footprint fits (the same bound that gates ikdep):
+        # measured 4 251 vs ikdep's 3 717–3 762 MPix/s at 64×512²
+        # (benchmarks/descent_ablation --modes ikdep sint), and strictly
+        # fewer syncs than plain interval on the sync-bound small tiles.
+        # An EXPLICITLY pinned mode (ablation runs) never auto-upgrades.
+        if mode == "auto" and seeds is not None and elems <= AUTO_IKDEP_MAX_ELEMS:
+            mode = "sint"
+        else:
+            mode = _resolve_auto(mode, elems)
+    if mode != "sint":
+        seeds = None  # seeding is the sint mode's contract; others ignore it
+    if mode.startswith("interval") or mode == "sint":
+        n_cuts = 4 if mode == "sint" else int(mode[len("interval") :] or 4)
         descended = interval_descend_multi(
-            [(key, rank) for key, rank, _f in selects], n_cuts=n_cuts
+            [(key, rank) for key, rank, _f in selects], n_cuts=n_cuts, seeds=seeds
         )
         if keyed:
             # The interval descent terminates with ``klo`` == the selected
             # element's exact signed key, and keyed fields are bijective in
             # the key — so the value comes from the SCALAR klo alone; no
             # member-mask row pass at all.
-            return [
+            results = [
                 [_f32_from_ik_scalar(klo) for _ in fields]
                 for (_k, _r, fields), (_ik, klo) in zip(selects, descended)
             ]
+            if want_terminal:
+                return results, [klo for _ik, klo in descended]
+            return results
         members = [ik == klo for ik, klo in descended]
     else:
         radix = radix_descend_multi(
@@ -974,19 +1045,26 @@ def radix_select_multi(selects, keyed: bool = False, mode: str | None = None):
             # vector→scalar sync per select. (``nocon``/``defer`` can exit
             # on a singleton bucket with a partial prefix and must keep the
             # member path.)
-            return [
-                [
-                    _f32_from_ik_scalar(
-                        prefix.astype(jnp.int32) ^ jnp.int32(-0x80000000)
-                    )
-                    for _ in fields
-                ]
-                for (_k, _r, fields), (prefix, _it) in zip(selects, radix)
+            terminal = [
+                prefix.astype(jnp.int32) ^ jnp.int32(-0x80000000)
+                for prefix, _it in radix
             ]
+            results = [
+                [_f32_from_ik_scalar(ik_t) for _ in fields]
+                for (_k, _r, fields), ik_t in zip(selects, terminal)
+            ]
+            if want_terminal:
+                return results, terminal
+            return results
         members = [
             member_mask(key, prefix, it)
             for (key, _r, _f), (prefix, it) in zip(selects, radix)
         ]
+    if want_terminal:
+        raise NotImplementedError(
+            "want_terminal requires a keyed exact-terminal mode "
+            "(sint/interval*/dep/ikdep/cum16/cum256/spec6/spec4 with keyed=True)"
+        )
 
     results = []
     for (key, _rank, fields), member in zip(selects, members):

@@ -223,6 +223,54 @@ class TestSelectionKernel:
                 expected = valid[min(r, len(valid) - 1)] if len(valid) else np.inf
                 assert float(val) == expected, (mode, r)
 
+    @pytest.mark.parametrize("seed_kind", ["exact", "near", "far", "extreme", "invalid"])
+    def test_seeded_interval_bit_exact(self, seed_kind):
+        """The seeded interval descent ("sint") is bit-exact for ANY seed:
+        seeds only place probe cuts, counts stay exact. Covers an exact
+        seed (the previous image had the same percentile), a near seed
+        (small drift), a wildly wrong seed, seeds at the int32 clamp
+        boundary, and an invalid flag (grid step 0)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.selection import _monotone_key, radix_select_multi
+
+        rng = np.random.default_rng(23)
+        x = rng.standard_normal(4096).astype(np.float32)
+        valid = np.sort(x)
+        ranks = [40, 2048, 4055]
+        key = _monotone_key(jnp.asarray(x.reshape(32, 128)))
+        sels = [(key, jnp.int32(r), (jnp.asarray(x.reshape(32, 128)),)) for r in ranks]
+
+        def ik_of(v):
+            u = np.float32(v).view(np.uint32)
+            k = u ^ (np.uint32(0xFFFFFFFF) if (u >> 31) else np.uint32(0x80000000))
+            return jnp.int32(np.int32(k ^ np.uint32(0x80000000)))
+
+        flag = jnp.asarray(seed_kind != "invalid")
+        if seed_kind == "exact":
+            seeds = [(ik_of(valid[r]), flag) for r in ranks]
+        elif seed_kind == "near":
+            seeds = [(ik_of(valid[r] * 1.003), flag) for r in ranks]
+        elif seed_kind == "far":
+            seeds = [(ik_of(-valid[r] * 37.0 + 5.0), flag) for r in ranks]
+        elif seed_kind == "extreme":
+            seeds = [
+                (jnp.int32(-0x80000000), flag),
+                (jnp.int32(0x7FFFFFFF), flag),
+                (jnp.int32(0), flag),
+            ]
+        else:
+            seeds = [(jnp.int32(123456), flag) for _ in ranks]
+
+        got, terminal = radix_select_multi(
+            sels, keyed=True, mode="sint", seeds=seeds, want_terminal=True
+        )
+        for r, (val,), term in zip(ranks, got, terminal):
+            assert float(val) == valid[r], (seed_kind, r)
+            # The terminal ik IS the selected element's signed key — the
+            # seed contract the mega kernel's scratch carry relies on.
+            assert int(term) == int(ik_of(valid[r])), (seed_kind, r)
+
     @pytest.mark.parametrize("mode", ["dep", "spec6", "spec4", "nocon", "defer"])
     def test_top_of_keyspace_group_no_probe_wrap(self, mode):
         """Keys 0xFFFFFFFD/E/F (NaN-group) with duplicates: the common-prefix
