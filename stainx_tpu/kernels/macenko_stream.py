@@ -70,11 +70,17 @@ from stainx_tpu.kernels.macenko_fused import (
     _od_from_planes,
     _pseudo_angle,
 )
-from stainx_tpu.kernels.selection import _f32_from_ik_scalar, _ikey_view, _monotone_key
+from stainx_tpu.kernels.selection import (
+    _f32_from_ik_scalar,
+    _ikey_view,
+    _insert_sorted,
+    _monotone_key,
+)
 from stainx_tpu.kernels.selection_stream import (
     _I32MAX,
     _I32MIN,
     _NS,
+    _SENT_IK,
     _cuts,
     _descend_step,
     accumulate_sweep,
@@ -93,7 +99,10 @@ _CK = 2048  # chunk lanes: 64 K px per chunk, 64 KB uint8 per channel buffer
 # and also the fit-path streaming selection's (selection_stream), where
 # the same race repeated on its DMA-heavier key-chunk sweeps.
 _N_CUTS = 6
-_MAX_SWEEPS = stream_max_sweeps(_N_CUTS)
+# +1: the cross-image seeded sweep 1 guarantees only a 2× narrowing (its
+# midpoint cut) instead of the even ladder's n_cuts× when the seed bracket
+# misses — one extra sweep of backstop covers the deficit (log₆3 < 1).
+_MAX_SWEEPS = stream_max_sweeps(_N_CUTS) + 1
 
 
 def _stream_mega_kernel(
@@ -107,6 +116,7 @@ def _stream_mega_kernel(
     osem,
     kbuf,
     ksem,
+    seed_ref,
     *,
     is_uint8: bool,
     p_true: int,
@@ -116,6 +126,14 @@ def _stream_mega_kernel(
 ):
     i = pl.program_id(0)
     chunk_px = _SUB * _CK
+    # Cross-image seeding (the resident mega kernel's round-4 trick, where
+    # it bought +12%; here every saved iteration is a whole HBM sweep):
+    # the previous grid step's terminal selection keys, carried in SMEM
+    # scratch, place sweep 1's cuts around the expected percentile instead
+    # of even-splitting the full int32 key space. Cuts remain exact counted
+    # probes — results stay bit-exact for any seed; step 0 descends
+    # unseeded.
+    seed_valid = i > 0
 
     def in_dma(slot, t, ch):
         return pltpu.make_async_copy(x_hbm.at[i, ch, t], buf.at[slot, ch], sem.at[slot, ch])
@@ -240,12 +258,15 @@ def _stream_mega_kernel(
     # (round-3 review findings, both directions).
     _NA = sweep_acc_width(_N_CUTS)
 
-    def run_descents(field_fns, descents):
+    def run_descents(field_fns, descents, seed_slots):
         """``field_fns``: (od, valid) → signed-key chunk view, computed
         ONCE per chunk on sweep 1 (which spans the whole key space and
         doubles as range discovery, cf. selection_stream) and cached in
         HBM for the remaining sweeps; ``descents``: (field_idx, rank)
-        pairs counted on it. Returns each terminal klo."""
+        pairs counted on it; ``seed_slots``: per-descent seed scratch
+        index (sweep-1 cuts come from that slot's previous-image terminal
+        key when valid, and the terminal key is written back). Returns
+        each terminal klo."""
         k_d = len(descents)
         n_fields = len(field_fns)
         ranks = [r for _fi, r in descents]
@@ -287,8 +308,16 @@ def _stream_mega_kernel(
                 jnp.asarray(False),
             )
         ] * k_d
-        all_cuts0 = [
-            _cuts(
+        def seeded_cuts0(d):
+            """Sweep-1 cuts: the previous image's terminal key bracketed at
+            the two ULP drift scales (±2¹⁹ ≈ ±4.4%, ±2¹⁶ ≈ ±0.55%
+            relative) plus the int32 midpoint (so a wrong seed still
+            halves the space; the min/max snap then clamps to the data's
+            occupied range regardless). Falls back to the even full-space
+            ladder when the seed is invalid (grid step 0). Both lists are
+            sorted and the validity flag is one scalar, so the elementwise
+            select preserves sort order."""
+            unseeded = _cuts(
                 jnp.int32(_I32MIN),
                 jnp.int32(_I32MAX),
                 jnp.int32(0),
@@ -296,8 +325,20 @@ def _stream_mega_kernel(
                 ranks[d],
                 _N_CUTS,
             )
-            for d in range(k_d)
-        ]
+            s = jnp.clip(
+                seed_ref[seed_slots[d]],
+                jnp.int32(_I32MIN + (1 << 20)),
+                jnp.int32(_SENT_IK - (1 << 20)),
+            )
+            bracket = [
+                s + jnp.int32(off)
+                for off in (-(1 << 19), -(1 << 16), 0, 1 << 16, 1 << 19)
+            ]
+            seeded = _insert_sorted(bracket, jnp.int32(0))
+            assert len(seeded) == len(unseeded) == _N_CUTS
+            return [jnp.where(seed_valid, sc, uc) for sc, uc in zip(seeded, unseeded)]
+
+        all_cuts0 = [seeded_cuts0(d) for d in range(k_d)]
 
         def write_body(t, acc, od, valid):
             iks = [fn(od, valid) for fn in field_fns]
@@ -374,7 +415,10 @@ def _stream_mega_kernel(
             return tuple([state[0] + 1] + step_states(per_d, all_cuts, acc))
 
         state = jax.lax.while_loop(cond, body, tuple(state))
-        return [state[1 + _NS * d] for d in range(k_d)]
+        terminals = [state[1 + _NS * d] for d in range(k_d)]
+        for d in range(k_d):
+            seed_ref[seed_slots[d]] = terminals[d]
+        return terminals
 
     # --- phase B: φ percentiles on the diamond angle -----------------------
     def phi_ik(od, valid):
@@ -389,7 +433,7 @@ def _stream_mega_kernel(
 
     r_lo = nearest_rank_index(alpha, cnt_i32)
     r_hi = nearest_rank_index(100 - alpha, cnt_i32)
-    klo_lo, klo_hi = run_descents([phi_ik], [(0, r_lo), (0, r_hi)])
+    klo_lo, klo_hi = run_descents([phi_ik], [(0, r_lo), (0, r_hi)], (0, 1))
     cos_lo, sin_lo = _dir_from_pseudo(_f32_from_ik_scalar(klo_lo))
     cos_hi, sin_hi = _dir_from_pseudo(_f32_from_ik_scalar(klo_hi))
 
@@ -416,7 +460,7 @@ def _stream_mega_kernel(
         return _ikey_view(_monotone_key(jnp.where(valid, c1, jnp.inf)))
 
     rank_c = jnp.int32(idx_hi_conc)
-    kc0, kc1 = run_descents([c0_ik, c1_ik], [(0, rank_c), (1, rank_c)])
+    kc0, kc1 = run_descents([c0_ik, c1_ik], [(0, rank_c), (1, rank_c)], (2, 3))
     maxc0 = _f32_from_ik_scalar(kc0)
     maxc1 = _f32_from_ik_scalar(kc1)
 
@@ -514,6 +558,9 @@ def macenko_transform_stream(
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.VMEM((2, 2, _SUB, _CK), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
+            # Cross-image seed scratch (4 terminal keys: φ lo/hi, c0/c1) —
+            # persists across the sequential grid steps.
+            pltpu.SMEM((4,), jnp.int32),
         ],
     )
     kernel = functools.partial(
