@@ -176,9 +176,12 @@ def _concentrations_2x2(he: jnp.ndarray, od_c) -> tuple[jnp.ndarray, jnp.ndarray
 # the VMEM-resident radix kernel wins (fewer sweeps on sync-bound sizes).
 # 2M elems keeps the resident kernel's peak well under half the 128 MB
 # physical VMEM — the round-2 "127.6 of 128 MB knife edge" is retired:
-# 2048² rows (4.19M) now stream. The row-size cap is HBM (in + out + the
-# streaming kernel's 8 B/px descent key cache ≈ 14 B/px uint8 → ~1.1 G px
-# per 16 GB chip), not VMEM; the int32 rank space (2.1 G px) sits above it.
+# 2048² rows (4.19M) now stream. Measured ladder top: **16384² (268 M
+# px/row, 3 453 MPix/s, MAE 0.0129)** on a v5e — claims stop there.
+# The eventual row-size cap is HBM (in + out + the streaming kernel's
+# 8 B/px descent key cache ≈ 14 B/px uint8 → ~1.1 G px per 16 GB chip by
+# arithmetic, NOT measured), not VMEM; expect ~10–15 min one-time XLA
+# compiles per new row shape in the 12k–16k tier.
 STREAM_MIN_ELEMS = 2_097_152
 
 # Gate for the streaming mega kernel (kernels/macenko_stream.py) on rows
