@@ -331,8 +331,10 @@ def _stream_mega_kernel(
         ] * k_d
         def seeded_cuts0(d):
             """Sweep-1 cuts: the previous image's terminal key bracketed at
-            the two ULP drift scales (±2¹⁹ ≈ ±4.4%, ±2¹⁶ ≈ ±0.55%
-            relative) plus the int32 midpoint (so a wrong seed still
+            the two ULP drift scales (±2¹⁶ ≈ ±0.55%, ±2¹³ ≈ ±0.07%
+            relative — measured image-to-image percentile drift is median
+            0.02–0.14%, max 0.31%, so the wide cut still always contains
+            the next value) plus the int32 midpoint (a wrong seed still
             halves the space; the min/max snap then clamps to the data's
             occupied range regardless). Falls back to the even full-space
             ladder when the seed is invalid (grid step 0). Both lists are
@@ -353,7 +355,7 @@ def _stream_mega_kernel(
             )
             bracket = [
                 s + jnp.int32(off)
-                for off in (-(1 << 19), -(1 << 16), 0, 1 << 16, 1 << 19)
+                for off in (-(1 << 16), -(1 << 13), 0, 1 << 13, 1 << 16)
             ]
             seeded = _insert_sorted(bracket, jnp.int32(0))
             assert len(seeded) == len(unseeded) == _N_CUTS
@@ -375,7 +377,13 @@ def _stream_mega_kernel(
             for f in range(n_fields):
                 kwrite(slot, t, f).start()
 
-            @pl.when(t % stride == 0)
+            # Collect only when the cheaper cross-image seed is absent
+            # (grid step 0): for later images sweep 1's previous-image
+            # bracket already leaves a tighter interval than the subsample
+            # estimate, and the sub-descent's serial iterations measured a
+            # net LOSS at small chunk counts (2×2048²: 3 504 → 1 470
+            # MPix/s with it unconditional).
+            @pl.when((t % stride == 0) & jnp.logical_not(seed_valid))
             def _():
                 row = t // stride
                 for f in range(n_fields):
@@ -421,8 +429,12 @@ def _stream_mega_kernel(
         # cheap on-chip iterations vs whole-HBM sweeps). The selected
         # subsample order statistic at the proportionally scaled rank
         # estimates the full-row percentile value to well under the ±2¹⁶
-        # bracket. Guarded by cond(): when every descent finished at sweep
-        # 1 (uniform tiles) the sub-descent's row passes are skipped.
+        # bracket; the descent early-stops once its span is inside the
+        # sweep-2 bracket's tight cut (resolving the final ulps costs as
+        # many iterations as the whole coarse phase and buys nothing).
+        # Guarded by cond() & !seed_valid: uniform tiles (every descent
+        # finished at sweep 1) and cross-image-seeded grid steps skip the
+        # sub-descent's row passes entirely.
         def compute_sub_seeds(_):
             row_id = jax.lax.broadcasted_iota(jnp.int32, (_SUB_ROWS, _CK), 0)
             sub_selects = []
@@ -443,11 +455,14 @@ def _stream_mega_kernel(
                 ).astype(jnp.int32)
                 sub_selects.append((key_sub, r_sub))
             return tuple(
-                klo for _ik, klo in interval_descend_multi(sub_selects)
+                klo
+                for _ik, klo in interval_descend_multi(
+                    sub_selects, stop_span=1 << 11
+                )
             )
 
         sub_seeds = jax.lax.cond(
-            cond(tuple(state)),
+            cond(tuple(state)) & jnp.logical_not(seed_valid),
             compute_sub_seeds,
             lambda _: tuple(jnp.int32(0) for _ in range(k_d)),
             0,
@@ -476,7 +491,7 @@ def _stream_mega_kernel(
                 ]
                 mid = (klo >> 1) + (khi >> 1) + (klo & khi & jnp.int32(1))
                 seeded = _insert_sorted(bracket, jnp.clip(mid, klo, hi_cut))
-                use_seed = state[0] == 1
+                use_seed = (state[0] == 1) & jnp.logical_not(seed_valid)
                 return [jnp.where(use_seed, sc, uc) for sc, uc in zip(seeded, std)]
 
             all_cuts = [
@@ -602,7 +617,7 @@ def macenko_transform_stream(
     """Streaming one-kernel Macenko transform, (N, 3, H, W) uint8/float32
     [0,1] → normalized batch (same dtype, [0,255] range). VMEM holds only
     chunk buffers; HBM holds the bytes. Measured to **16384² rows**
-    (268 M px, 3 453 MPix/s, MAE 0.0129 vs the numpy oracle, v5e); the
+    (268 M px, 3 445–3 453 MPix/s, MAE 0.0129 vs the numpy oracle, v5e); the
     eventual row cap is HBM, not VMEM — input + output + the 8 B/px key
     cache ≈ 14 B/px uint8 (32 B/px f32) put the arithmetic ceiling near
     ~1.1 G px on a 16 GB chip, but that regime is unmeasured and each new

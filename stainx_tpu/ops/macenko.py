@@ -177,7 +177,7 @@ def _concentrations_2x2(he: jnp.ndarray, od_c) -> tuple[jnp.ndarray, jnp.ndarray
 # 2M elems keeps the resident kernel's peak well under half the 128 MB
 # physical VMEM — the round-2 "127.6 of 128 MB knife edge" is retired:
 # 2048² rows (4.19M) now stream. Measured ladder top: **16384² (268 M
-# px/row, 3 453 MPix/s, MAE 0.0129)** on a v5e — claims stop there.
+# px/row, 3 445–3 453 MPix/s, MAE 0.0129)** on a v5e — claims stop there.
 # The eventual row-size cap is HBM (in + out + the streaming kernel's
 # 8 B/px descent key cache ≈ 14 B/px uint8 → ~1.1 G px per 16 GB chip by
 # arithmetic, NOT measured), not VMEM; expect ~10–15 min one-time XLA

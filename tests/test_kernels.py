@@ -271,6 +271,33 @@ class TestSelectionKernel:
             # seed contract the mega kernel's scratch carry relies on.
             assert int(term) == int(ik_of(valid[r])), (seed_kind, r)
 
+    def test_interval_stop_span_lower_bound(self):
+        """``stop_span`` turns the interval descent into an estimator: the
+        returned klo must be a LOWER bound on the rank element's key,
+        within stop_span keys of it (the streaming kernel's subsample
+        sub-descent relies on exactly this — its sweep-2 bracket absorbs
+        the residual)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.selection import (
+            _monotone_key,
+            interval_descend_multi,
+        )
+
+        rng = np.random.default_rng(31)
+        x = rng.standard_normal(4096).astype(np.float32)
+        valid = np.sort(x)
+        span = 1 << 11
+        for r in (40, 2048, 4055):
+            key = _monotone_key(jnp.asarray(x.reshape(32, 128)))
+            (ik, klo), = interval_descend_multi([(key, jnp.int32(r))], stop_span=span)
+
+            u = np.float32(valid[r]).view(np.uint32)
+            k = u ^ (np.uint32(0xFFFFFFFF) if (u >> 31) else np.uint32(0x80000000))
+            true_ik = np.int32(k ^ np.uint32(0x80000000))
+            got = int(klo)
+            assert got <= int(true_ik) <= got + span, (r, got, int(true_ik))
+
     @pytest.mark.parametrize("mode", ["dep", "spec6", "spec4", "nocon", "defer"])
     def test_top_of_keyspace_group_no_probe_wrap(self, mode):
         """Keys 0xFFFFFFFD/E/F (NaN-group) with duplicates: the common-prefix
