@@ -184,6 +184,7 @@ class TestSelectionKernel:
             "defer",
             "interval",
             "interval8",
+            "sint",  # seeds=None ⇒ seeded machinery with no seed source
             "ikdep",
             "cum16",
             # byte-wide / 256-cut traces are ~1300 scalar wheres per
