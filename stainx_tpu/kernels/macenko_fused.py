@@ -166,7 +166,7 @@ def _dir_from_pseudo(p):
     return u * inv, v * inv
 
 
-def _select_seeded(selects, seed_slots, seed_ref):
+def _select_seeded(selects, seed_slots, seed_ref, counts=None):
     """Keyed rank select with cross-image seeding: probe first around the
     PREVIOUS grid step's terminal keys for the same slots (batch images
     share a staining distribution, so percentiles drift little image to
@@ -175,12 +175,14 @@ def _select_seeded(selects, seed_slots, seed_ref):
     marks its seeds invalid and descends normally. Seeds only place probe
     cuts — counts stay exact, so results are bit-identical to every other
     descent mode (the ablation harness asserts it). Modes without an
-    exact-terminal exit ignore the seed path entirely."""
+    exact-terminal exit ignore the seed path entirely. ``counts``
+    (per-descent known member counts) additionally lets the seeded
+    interval descent skip its init row pass on seeded steps."""
     valid = pl.program_id(0) > 0
     seeds = [(seed_ref[s], valid) for s in seed_slots]
     try:
         results, terminal = radix_select_multi(
-            selects, keyed=True, seeds=seeds, want_terminal=True
+            selects, keyed=True, seeds=seeds, want_terminal=True, counts=counts
         )
     except NotImplementedError:  # member-path modes (nocon/defer)
         return radix_select_multi(selects, keyed=True)
@@ -265,8 +267,13 @@ def _mega_kernel(
     r_lo = nearest_rank_index(alpha, cnt_i)
     r_hi = nearest_rank_index(100 - alpha, cnt_i)
 
+    # cnt_i is exactly the φ keys' member count: eff_mask = (bmask|use_all)
+    # & in_image, whose population is the chosen moments count either way.
     phi_results = _select_seeded(
-        [(key, r_lo, (pseudo,)), (key, r_hi, (pseudo,))], (0, 1), seed_ref
+        [(key, r_lo, (pseudo,)), (key, r_hi, (pseudo,))],
+        (0, 1),
+        seed_ref,
+        counts=(cnt_i, cnt_i),
     )
     cos_lo, sin_lo = _dir_from_pseudo(phi_results[0][0])
     cos_hi, sin_hi = _dir_from_pseudo(phi_results[1][0])
@@ -297,6 +304,7 @@ def _mega_kernel(
         ],
         (2, 3),
         seed_ref,
+        counts=(jnp.int32(p_true), jnp.int32(p_true)),
     )
     (maxc0,), (maxc1,) = c_results
 

@@ -766,7 +766,9 @@ def _insert_sorted(sorted_vals, x):
 _SEED_DELTAS = (1 << 16, 1 << 13)
 
 
-def interval_descend_multi(selects, n_cuts: int = 4, seeds=None, stop_span=None):
+def interval_descend_multi(
+    selects, n_cuts: int = 4, seeds=None, stop_span=None, counts=None
+):
     """Fused rank selection by **interval descent** on the signed key view:
     interpolation search with a bisection guarantee, no radix structure.
 
@@ -801,6 +803,13 @@ def interval_descend_multi(selects, n_cuts: int = 4, seeds=None, stop_span=None)
     back to that iteration's standard cuts. Counts stay exact, so seeding
     affects iteration count only — never the selected element.
 
+    ``counts`` (optional, requires ``seeds``): per-descent scalar member
+    counts the caller already knows (#keys ≠ sentinel). When every seed
+    is valid, the init's min/max/count row pass is skipped in favor of
+    loose whole-line bounds — the caller asserts the count is exact and
+    that the field has no NaN-keyed elements (loose bounds exclude
+    ``ik ≥ SENT`` where the computed init would include NaN keys).
+
     Returns per-descent ``(ik, klo)`` — resolve members with ``ik == klo``.
     """
     _I32MAX = jnp.int32(0x7FFFFFFF)
@@ -811,18 +820,47 @@ def interval_descend_multi(selects, n_cuts: int = 4, seeds=None, stop_span=None)
     # empty-row result depend on row size.
     _SENT_IK = jnp.int32(0x7F800000)
     n_sel = len(selects)
-    iks = []
-    state = []
-    for key, rank in selects:
-        ik = _ikey_view(key)
-        valid = key != jnp.uint32(_SENTINEL_KEY)
-        n0 = jnp.sum(valid.astype(jnp.int32))
-        empty = n0 == 0
-        klo0 = jnp.where(empty, _SENT_IK, jnp.min(jnp.where(valid, ik, _I32MAX)))
-        khi0 = jnp.where(empty, _SENT_IK, jnp.max(jnp.where(valid, ik, _I32MIN)))
-        r0 = jnp.clip(rank, 0, jnp.maximum(n0 - 1, 0))
-        iks.append(ik)
-        state.extend([klo0, khi0, r0, n0, empty | (klo0 == khi0)])
+    iks = [_ikey_view(key) for key, _r in selects]
+
+    def computed_init(_):
+        st = []
+        for (key, rank), ik in zip(selects, iks):
+            valid = key != jnp.uint32(_SENTINEL_KEY)
+            n0 = jnp.sum(valid.astype(jnp.int32))
+            empty = n0 == 0
+            klo0 = jnp.where(empty, _SENT_IK, jnp.min(jnp.where(valid, ik, _I32MAX)))
+            khi0 = jnp.where(empty, _SENT_IK, jnp.max(jnp.where(valid, ik, _I32MIN)))
+            r0 = jnp.clip(rank, 0, jnp.maximum(n0 - 1, 0))
+            st.extend([klo0, khi0, r0, n0, empty | (klo0 == khi0)])
+        return tuple(st)
+
+    if counts is not None and seeds is not None:
+        # Init-pass skip: with a valid seed AND a caller-known member count
+        # (the mega kernel's φ count falls out of the moments pass; the
+        # concentration fields' count is the pixel count), the init
+        # row pass + sync buys nothing the seeded first iteration doesn't
+        # redo — start from loose whole-line bounds instead (sentinels
+        # excluded by khi < SENT). The min/max-reduce branch is taken only
+        # when a seed is invalid (grid step 0), so Mosaic skips its row
+        # passes otherwise (the moments-fallback cond precedent). A known
+        # count of 0 resolves to the sentinel like the computed init.
+        def loose_init(_):
+            st = []
+            for (key, rank), n0 in zip(selects, counts):
+                n0 = n0.astype(jnp.int32)
+                empty = n0 == 0
+                klo0 = jnp.where(empty, _SENT_IK, jnp.int32(_I32MIN))
+                khi0 = jnp.where(empty, _SENT_IK, _SENT_IK - 1)
+                r0 = jnp.clip(rank, 0, jnp.maximum(n0 - 1, 0))
+                st.extend([klo0, khi0, r0, n0, empty])
+            return tuple(st)
+
+        all_valid = seeds[0][1]
+        for _s, flag in seeds[1:]:
+            all_valid = all_valid & flag
+        state = list(jax.lax.cond(all_valid, loose_init, computed_init, 0))
+    else:
+        state = list(computed_init(0))
 
     _S = 5
 
@@ -975,6 +1013,7 @@ def radix_select_multi(
     mode: str | None = None,
     seeds=None,
     want_terminal: bool = False,
+    counts=None,
 ):
     """Run several radix descents in ONE while loop.
 
@@ -1026,10 +1065,14 @@ def radix_select_multi(
             mode = _resolve_auto(mode, elems)
     if mode != "sint":
         seeds = None  # seeding is the sint mode's contract; others ignore it
+        counts = None
     if mode.startswith("interval") or mode == "sint":
         n_cuts = 4 if mode == "sint" else int(mode[len("interval") :] or 4)
         descended = interval_descend_multi(
-            [(key, rank) for key, rank, _f in selects], n_cuts=n_cuts, seeds=seeds
+            [(key, rank) for key, rank, _f in selects],
+            n_cuts=n_cuts,
+            seeds=seeds,
+            counts=counts,
         )
         if keyed:
             # The interval descent terminates with ``klo`` == the selected
