@@ -166,7 +166,14 @@ def _dir_from_pseudo(p):
     return u * inv, v * inv
 
 
-def _select_seeded(selects, seed_slots, seed_ref, counts=None):
+# A terminal farther than this from the previous image's is a seed MISS
+# (matches the widest probe bracket, selection._SEED_DELTAS[0]); streaks
+# of all-miss calls disable seeding until the stream stabilizes.
+_MISS_DELTA = 1 << 16
+_MISS_LIMIT = 2  # per-pair streak ⇒ a pair stops seeding after 2 all-miss images
+
+
+def _select_seeded(selects, seed_slots, seed_ref, streak_slot, counts=None):
     """Keyed rank select with cross-image seeding: probe first around the
     PREVIOUS grid step's terminal keys for the same slots (batch images
     share a staining distribution, so percentiles drift little image to
@@ -177,8 +184,23 @@ def _select_seeded(selects, seed_slots, seed_ref, counts=None):
     descent mode (the ablation harness asserts it). Modes without an
     exact-terminal exit ignore the seed path entirely. ``counts``
     (per-descent known member counts) additionally lets the seeded
-    interval descent skip its init row pass on seeded steps."""
-    valid = pl.program_id(0) > 0
+    interval descent skip its init row pass on seeded steps.
+
+    **Miss-streak cutout** (``streak_slot``, one PER loop-pair): a
+    heterogeneous batch makes seeds miss, costing ~6% over unseeded
+    (measured, alternating he_scale 0.7/1.4 tiles). Terminals are always
+    compared against the previous image's regardless of whether seeding
+    was active; a call whose descents are ALL farther than the widest
+    probe bracket bumps its streak, any near terminal resets it, and
+    seeding disables while the streak is ≥ ``_MISS_LIMIT`` — bounding the
+    heterogeneous penalty to ~2 images and self-re-enabling one image
+    after the stream stabilizes. The streak is per pair because the
+    pairs decorrelate: the alternating-scale batch leaves the
+    scale-invariant φ angles' seeds HITTING while both concentration
+    seeds miss every image — a shared streak would never trip."""
+    pid = pl.program_id(0)
+    streak = seed_ref[streak_slot]
+    valid = (pid > 0) & (streak < _MISS_LIMIT)
     seeds = [(seed_ref[s], valid) for s in seed_slots]
     try:
         results, terminal = radix_select_multi(
@@ -186,8 +208,18 @@ def _select_seeded(selects, seed_slots, seed_ref, counts=None):
         )
     except NotImplementedError:  # member-path modes (nocon/defer)
         return radix_select_multi(selects, keyed=True)
+    lim = jnp.int32(1 << 20)
+    all_far = None
     for s, t in zip(seed_slots, terminal):
+        prev = jnp.clip(
+            seed_ref[s], jnp.int32(-0x80000000) + lim, jnp.int32(0x7FFFFFFF) - lim
+        )
+        far = (t > prev + jnp.int32(_MISS_DELTA)) | (t < prev - jnp.int32(_MISS_DELTA))
+        all_far = far if all_far is None else (all_far & far)
         seed_ref[s] = t
+    seed_ref[streak_slot] = jnp.where(
+        pid == 0, jnp.int32(0), jnp.where(all_far, streak + 1, jnp.int32(0))
+    )
     return results
 
 
@@ -273,6 +305,7 @@ def _mega_kernel(
         [(key, r_lo, (pseudo,)), (key, r_hi, (pseudo,))],
         (0, 1),
         seed_ref,
+        4,
         counts=(cnt_i, cnt_i),
     )
     cos_lo, sin_lo = _dir_from_pseudo(phi_results[0][0])
@@ -304,6 +337,7 @@ def _mega_kernel(
         ],
         (2, 3),
         seed_ref,
+        5,
         counts=(jnp.int32(p_true), jnp.int32(p_true)),
     )
     (maxc0,), (maxc1,) = c_results
@@ -356,9 +390,10 @@ def macenko_transform_mega(images, stain_matrix, target_max_conc, interpret: boo
         out_specs=pl.BlockSpec(
             (1, 3, s, _LANE), lambda i, params: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
-        # Cross-image seed scratch (4 terminal keys: φ lo/hi, c0/c1 maxes) —
-        # persists across the sequential grid steps; see _select_seeded.
-        scratch_shapes=[pltpu.SMEM((4,), jnp.int32)],
+        # Cross-image seed scratch (4 terminal keys: φ lo/hi, c0/c1 maxes +
+        # one miss-streak counter per loop-pair) — persists across the
+        # sequential grid steps; see _select_seeded.
+        scratch_shapes=[pltpu.SMEM((6,), jnp.int32)],
     )
     kernel = functools.partial(
         _mega_kernel,
