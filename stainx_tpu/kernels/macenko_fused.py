@@ -34,7 +34,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from stainx_tpu.kernels import interpret_mode
-from stainx_tpu.kernels.selection import _monotone_key, radix_select_multi
+from stainx_tpu.kernels.selection import (
+    _SEED_DELTAS,
+    _monotone_key,
+    exact_terminal_mode,
+    radix_select_multi,
+)
 
 _LANE = 128
 _IO = 240.0
@@ -126,6 +131,60 @@ def _eigh3_top2_scalars(a00, a01, a02, a11, a12, a22):
     return v00, v10, v20, v01, v11, v21
 
 
+def _cov_scalars(cnt, s0, s1_, s2_, xx, xy, xz, yy, yz, zz):
+    """Masked-covariance entries from raw moment sums, scalar-only — THE
+    in-kernel covariance formula, shared by the resident and streaming
+    kernels like :func:`_od_from_planes` so it cannot drift between them
+    (jnp twin: ``ops.macenko.cov_from_moments``). Zeros when cnt ≤ 1."""
+    safe = jnp.maximum(cnt, 1.0)
+    mu0, mu1, mu2 = s0 / safe, s1_ / safe, s2_ / safe
+    den = jnp.maximum(cnt - 1.0, 1.0)
+    ok = cnt > 1.0
+    zero = jnp.float32(0.0)
+    a00 = jnp.where(ok, (xx - cnt * mu0 * mu0) / den, zero)
+    a01 = jnp.where(ok, (xy - cnt * mu0 * mu1) / den, zero)
+    a02 = jnp.where(ok, (xz - cnt * mu0 * mu2) / den, zero)
+    a11 = jnp.where(ok, (yy - cnt * mu1 * mu1) / den, zero)
+    a12 = jnp.where(ok, (yz - cnt * mu1 * mu2) / den, zero)
+    a22 = jnp.where(ok, (zz - cnt * mu2 * mu2) / den, zero)
+    return a00, a01, a02, a11, a12, a22
+
+
+def _stain_scalars_from_phi(evs, cos_lo, sin_lo, cos_hi, sin_hi):
+    """φ-extreme stain vectors → H/E ordering → 2×2 normal-equation rows
+    ``(m0, m1)``, scalar-only — shared by both kernels (the maxC guard
+    below was a round-2 advisor fix that had to be applied twice; this is
+    the lesson). ``evs``: the 6 eigenvector scalars of
+    :func:`_eigh3_top2_scalars`. jnp twins: ``ops.macenko.
+    _he_from_phi_extremes`` + ``_concentrations_2x2``."""
+    v00, v10, v20, v01, v11, v21 = evs
+    vmin = [v00 * cos_lo + v01 * sin_lo, v10 * cos_lo + v11 * sin_lo, v20 * cos_lo + v21 * sin_lo]
+    vmax = [v00 * cos_hi + v01 * sin_hi, v10 * cos_hi + v11 * sin_hi, v20 * cos_hi + v21 * sin_hi]
+    swap = vmin[0] > vmax[0]
+    h0 = [jnp.where(swap, vmin[c], vmax[c]) for c in range(3)]
+    h1 = [jnp.where(swap, vmax[c], vmin[c]) for c in range(3)]
+
+    a = h0[0] * h0[0] + h0[1] * h0[1] + h0[2] * h0[2]
+    b = h0[0] * h1[0] + h0[1] * h1[1] + h0[2] * h1[2]
+    c_ = h1[0] * h1[0] + h1[1] * h1[1] + h1[2] * h1[2]
+    # Finite-inverse clamp — mirrors ops.macenko._concentrations_2x2:
+    # bit-identical to 1/det when the stain pair is well-posed, finite
+    # when a uniform tile makes the columns (anti)parallel.
+    inv_det = jnp.clip(1.0 / (a * c_ - b * b), -1e12, 1e12)
+    m0 = [(c_ * h0[d] - b * h1[d]) * inv_det for d in range(3)]
+    m1 = [(a * h1[d] - b * h0[d]) * inv_det for d in range(3)]
+    return m0, m1
+
+
+def _maxc_scale(tmc, maxc):
+    """maxC floor — mirrors ops.macenko: keeps a uniform tile's 0/0
+    finite. Sign-preserving (|maxC| test): negative 99th-percentile
+    concentrations on degenerate-but-real tiles divide through unchanged,
+    like the reference (round-2 advisor finding — fixed in two kernels at
+    once back then; defined ONCE now)."""
+    return tmc / jnp.where(jnp.abs(maxc) > 1e-30, maxc, 1e-30)
+
+
 def _od_from_planes(planes, is_uint8: bool):
     """OD of three raw channel planes — THE in-kernel OD definition
     (``ops.macenko.optical_density`` is the jnp-level twin; uint8 hops
@@ -166,10 +225,12 @@ def _dir_from_pseudo(p):
     return u * inv, v * inv
 
 
-# A terminal farther than this from the previous image's is a seed MISS
-# (matches the widest probe bracket, selection._SEED_DELTAS[0]); streaks
-# of all-miss calls disable seeding until the stream stabilizes.
-_MISS_DELTA = 1 << 16
+# A terminal farther than this from the previous image's is a seed MISS —
+# BY DEFINITION the widest probe bracket (a farther terminal means the
+# bracket could not have contained it), so it references _SEED_DELTAS
+# rather than copying the value: retuning the brackets retunes the miss
+# test with them (the brackets have been retuned once already).
+_MISS_DELTA = _SEED_DELTAS[0]
 _MISS_LIMIT = 2  # per-pair streak ⇒ a pair stops seeding after 2 all-miss images
 
 
@@ -202,12 +263,11 @@ def _select_seeded(selects, seed_slots, seed_ref, streak_slot, counts=None):
     streak = seed_ref[streak_slot]
     valid = (pid > 0) & (streak < _MISS_LIMIT)
     seeds = [(seed_ref[s], valid) for s in seed_slots]
-    try:
-        results, terminal = radix_select_multi(
-            selects, keyed=True, seeds=seeds, want_terminal=True, counts=counts
-        )
-    except NotImplementedError:  # member-path modes (nocon/defer)
-        return radix_select_multi(selects, keyed=True)
+    if not exact_terminal_mode(selects, seeds=seeds):
+        return radix_select_multi(selects, keyed=True)  # nocon/defer ablations
+    results, terminal = radix_select_multi(
+        selects, keyed=True, seeds=seeds, want_terminal=True, counts=counts
+    )
     lim = jnp.int32(1 << 20)
     all_far = None
     for s, t in zip(seed_slots, terminal):
@@ -273,19 +333,8 @@ def _mega_kernel(
     m = jax.lax.cond(use_all, lambda: moments(in_image), lambda: m)
     cnt, s0, s1_, s2_, xx, xy, xz, yy, yz, zz = m
 
-    safe = jnp.maximum(cnt, 1.0)
-    mu0, mu1, mu2 = s0 / safe, s1_ / safe, s2_ / safe
-    den = jnp.maximum(cnt - 1.0, 1.0)
-    ok = cnt > 1.0
-    zero = jnp.float32(0.0)
-    a00 = jnp.where(ok, (xx - cnt * mu0 * mu0) / den, zero)
-    a01 = jnp.where(ok, (xy - cnt * mu0 * mu1) / den, zero)
-    a02 = jnp.where(ok, (xz - cnt * mu0 * mu2) / den, zero)
-    a11 = jnp.where(ok, (yy - cnt * mu1 * mu1) / den, zero)
-    a12 = jnp.where(ok, (yz - cnt * mu1 * mu2) / den, zero)
-    a22 = jnp.where(ok, (zz - cnt * mu2 * mu2) / den, zero)
-
-    v00, v10, v20, v01, v11, v21 = _eigh3_top2_scalars(a00, a01, a02, a11, a12, a22)
+    evs = _eigh3_top2_scalars(*_cov_scalars(cnt, s0, s1_, s2_, xx, xy, xz, yy, yz, zz))
+    v00, v10, v20, v01, v11, v21 = evs
 
     t0 = od[0] * v00 + od[1] * v10 + od[2] * v20
     t1 = od[0] * v01 + od[1] * v11 + od[2] * v21
@@ -310,22 +359,7 @@ def _mega_kernel(
     )
     cos_lo, sin_lo = _dir_from_pseudo(phi_results[0][0])
     cos_hi, sin_hi = _dir_from_pseudo(phi_results[1][0])
-
-    vmin = [v00 * cos_lo + v01 * sin_lo, v10 * cos_lo + v11 * sin_lo, v20 * cos_lo + v21 * sin_lo]
-    vmax = [v00 * cos_hi + v01 * sin_hi, v10 * cos_hi + v11 * sin_hi, v20 * cos_hi + v21 * sin_hi]
-    swap = vmin[0] > vmax[0]
-    h0 = [jnp.where(swap, vmin[c], vmax[c]) for c in range(3)]
-    h1 = [jnp.where(swap, vmax[c], vmin[c]) for c in range(3)]
-
-    a = h0[0] * h0[0] + h0[1] * h0[1] + h0[2] * h0[2]
-    b = h0[0] * h1[0] + h0[1] * h1[1] + h0[2] * h1[2]
-    c_ = h1[0] * h1[0] + h1[1] * h1[1] + h1[2] * h1[2]
-    # Finite-inverse clamp — mirrors ops.macenko._concentrations_2x2:
-    # bit-identical to 1/det when the stain pair is well-posed, finite
-    # when a uniform tile makes the columns (anti)parallel.
-    inv_det = jnp.clip(1.0 / (a * c_ - b * b), -1e12, 1e12)
-    m0 = [(c_ * h0[d] - b * h1[d]) * inv_det for d in range(3)]
-    m1 = [(a * h1[d] - b * h0[d]) * inv_det for d in range(3)]
+    m0, m1 = _stain_scalars_from_phi(evs, cos_lo, sin_lo, cos_hi, sin_hi)
 
     c0 = od[0] * m0[0] + od[1] * m0[1] + od[2] * m0[2]
     c1 = od[0] * m1[0] + od[1] * m1[1] + od[2] * m1[2]
@@ -344,12 +378,8 @@ def _mega_kernel(
 
     tmc0, tmc1 = params_ref[0, 0], params_ref[0, 1]
     stain = [[params_ref[0, 2 + 2 * c + k] for k in range(2)] for c in range(3)]
-    # maxC floor — mirrors ops.macenko: keeps a uniform tile's 0/0 finite.
-    # Sign-preserving (|maxC| test): negative 99th-percentile concentrations
-    # on degenerate-but-real tiles divide through unchanged, like the
-    # reference (round-2 advisor finding).
-    scale0 = tmc0 / jnp.where(jnp.abs(maxc0) > 1e-30, maxc0, 1e-30)
-    scale1 = tmc1 / jnp.where(jnp.abs(maxc1) > 1e-30, maxc1, 1e-30)
+    scale0 = _maxc_scale(tmc0, maxc0)
+    scale1 = _maxc_scale(tmc1, maxc1)
 
     cn0 = c0 * scale0
     cn1 = c1 * scale1

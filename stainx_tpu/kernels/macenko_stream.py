@@ -65,12 +65,16 @@ from stainx_tpu.kernels import interpret_mode
 from stainx_tpu.kernels.macenko_fused import (
     _BETA,
     _IO,
+    _cov_scalars,
     _dir_from_pseudo,
     _eigh3_top2_scalars,
+    _maxc_scale,
     _od_from_planes,
     _pseudo_angle,
+    _stain_scalars_from_phi,
 )
 from stainx_tpu.kernels.selection import (
+    _SEED_DELTAS,
     _f32_from_ik_scalar,
     _ikey_view,
     _insert_sorted,
@@ -100,10 +104,12 @@ _CK = 2048  # chunk lanes: 64 K px per chunk, 64 KB uint8 per channel buffer
 # and also the fit-path streaming selection's (selection_stream), where
 # the same race repeated on its DMA-heavier key-chunk sweeps.
 _N_CUTS = 6
-# +2: the cross-image seeded sweep 1 AND the subsample-seeded sweep 2 each
-# guarantee only a 2× narrowing (their midpoint cut) instead of the even
-# ladder's n_cuts× when their seed brackets miss — one extra backstop
-# sweep each covers the deficit (log₆3 < 1 per seeded sweep).
+# +2: a seeded sweep guarantees only a 2× narrowing (its midpoint cut)
+# instead of the even ladder's n_cuts× when its bracket misses. At most
+# ONE seeded sweep runs per image — sweep-1 cross-image seeding requires
+# a previous image (seed_valid) while the subsample-seeded sweep 2
+# requires its absence — so +1 covers the deficit (log₆3 < 1); the second
+# +1 is pure margin (unused backstop sweeps cost nothing).
 _MAX_SWEEPS = stream_max_sweeps(_N_CUTS) + 2
 # Subsample buffer geometry: sublane 0 of every ``stride``-th chunk's key
 # block, capped at 256 rows × _CK lanes per field (2 MB i32; ≤ 4 MB for
@@ -238,19 +244,8 @@ def _stream_mega_kernel(
     )
     cnt = cnt_i32.astype(jnp.float32)
 
-    safe = jnp.maximum(cnt, 1.0)
-    mu0, mu1, mu2 = s0 / safe, s1_ / safe, s2_ / safe
-    den = jnp.maximum(cnt - 1.0, 1.0)
-    ok = cnt > 1.0
-    zero = jnp.float32(0.0)
-    a00 = jnp.where(ok, (xx - cnt * mu0 * mu0) / den, zero)
-    a01 = jnp.where(ok, (xy - cnt * mu0 * mu1) / den, zero)
-    a02 = jnp.where(ok, (xz - cnt * mu0 * mu2) / den, zero)
-    a11 = jnp.where(ok, (yy - cnt * mu1 * mu1) / den, zero)
-    a12 = jnp.where(ok, (yz - cnt * mu1 * mu2) / den, zero)
-    a22 = jnp.where(ok, (zz - cnt * mu2 * mu2) / den, zero)
-
-    v00, v10, v20, v01, v11, v21 = _eigh3_top2_scalars(a00, a01, a02, a11, a12, a22)
+    evs = _eigh3_top2_scalars(*_cov_scalars(cnt, s0, s1_, s2_, xx, xy, xz, yy, yz, zz))
+    v00, v10, v20, v01, v11, v21 = evs
 
     # --- descent driver: K descents with an HBM KEY CACHE -------------------
     # Sweep 1 computes each field from the bytes exactly once, counts on it,
@@ -331,10 +326,11 @@ def _stream_mega_kernel(
         ] * k_d
         def seeded_cuts0(d):
             """Sweep-1 cuts: the previous image's terminal key bracketed at
-            the two ULP drift scales (±2¹⁶ ≈ ±0.55%, ±2¹³ ≈ ±0.07%
-            relative — measured image-to-image percentile drift is median
-            0.02–0.14%, max 0.31%, so the wide cut still always contains
-            the next value) plus the int32 midpoint (a wrong seed still
+            the shared ``selection._SEED_DELTAS`` drift scales (one source
+            of truth with the resident kernel — measured image-to-image
+            percentile drift is median 0.02–0.14%, max 0.31%, so the wide
+            cut still always contains the next value) plus the int32
+            midpoint (a wrong seed still
             halves the space; the min/max snap then clamps to the data's
             occupied range regardless). Falls back to the even full-space
             ladder when the seed is invalid (grid step 0). Both lists are
@@ -353,10 +349,8 @@ def _stream_mega_kernel(
                 jnp.int32(_I32MIN + (1 << 20)),
                 jnp.int32(_SENT_IK - (1 << 20)),
             )
-            bracket = [
-                s + jnp.int32(off)
-                for off in (-(1 << 16), -(1 << 13), 0, 1 << 13, 1 << 16)
-            ]
+            offs = sorted([-o for o in _SEED_DELTAS] + [0] + list(_SEED_DELTAS))
+            bracket = [s + jnp.int32(off) for off in offs]
             seeded = _insert_sorted(bracket, jnp.int32(0))
             assert len(seeded) == len(unseeded) == _N_CUTS
             return [jnp.where(seed_valid, sc, uc) for sc, uc in zip(seeded, unseeded)]
@@ -542,19 +536,7 @@ def _stream_mega_kernel(
     )
     cos_lo, sin_lo = _dir_from_pseudo(_f32_from_ik_scalar(klo_lo))
     cos_hi, sin_hi = _dir_from_pseudo(_f32_from_ik_scalar(klo_hi))
-
-    vmin = [v00 * cos_lo + v01 * sin_lo, v10 * cos_lo + v11 * sin_lo, v20 * cos_lo + v21 * sin_lo]
-    vmax = [v00 * cos_hi + v01 * sin_hi, v10 * cos_hi + v11 * sin_hi, v20 * cos_hi + v21 * sin_hi]
-    swap = vmin[0] > vmax[0]
-    h0 = [jnp.where(swap, vmin[c], vmax[c]) for c in range(3)]
-    h1 = [jnp.where(swap, vmax[c], vmin[c]) for c in range(3)]
-
-    a = h0[0] * h0[0] + h0[1] * h0[1] + h0[2] * h0[2]
-    b = h0[0] * h1[0] + h0[1] * h1[1] + h0[2] * h1[2]
-    c_ = h1[0] * h1[0] + h1[1] * h1[1] + h1[2] * h1[2]
-    inv_det = jnp.clip(1.0 / (a * c_ - b * b), -1e12, 1e12)
-    m0 = [(c_ * h0[d] - b * h1[d]) * inv_det for d in range(3)]
-    m1 = [(a * h1[d] - b * h0[d]) * inv_det for d in range(3)]
+    m0, m1 = _stain_scalars_from_phi(evs, cos_lo, sin_lo, cos_hi, sin_hi)
 
     # --- phase C: concentration 99th percentiles ---------------------------
     def c0_ik(od, valid):
@@ -577,8 +559,8 @@ def _stream_mega_kernel(
 
     tmc0, tmc1 = params_ref[0, 0], params_ref[0, 1]
     stain = [[params_ref[0, 2 + 2 * c + k] for k in range(2)] for c in range(3)]
-    scale0 = tmc0 / jnp.where(jnp.abs(maxc0) > 1e-30, maxc0, 1e-30)
-    scale1 = tmc1 / jnp.where(jnp.abs(maxc1) > 1e-30, maxc1, 1e-30)
+    scale0 = _maxc_scale(tmc0, maxc0)
+    scale1 = _maxc_scale(tmc1, maxc1)
 
     # --- phase D: reconstruction, chunk in / chunk out ----------------------
     def out_dma(slot, t, ch):

@@ -200,6 +200,39 @@ def _resolve_auto(mode: str, row_elems: int) -> str:
     return "ikdep" if row_elems <= AUTO_IKDEP_MAX_ELEMS else "dep"
 
 
+def _resolve_mode(mode: str | None, row_elems: int, has_seeds: bool) -> str:
+    """THE mode resolution — shared by :func:`radix_select_multi` and
+    :func:`exact_terminal_mode` so the two can never disagree about what
+    actually runs. "auto" + seeds ⇒ the seeded interval descent at every
+    size whose hoisted-ik footprint fits (the same bound that gates
+    ikdep): measured 4 251+ vs ikdep's 3 717–3 770 MPix/s at 64×512²
+    (`benchmarks/descent_ablation --modes ikdep sint`), and strictly fewer
+    syncs than plain interval on the sync-bound small tiles. An
+    EXPLICITLY pinned mode (ablation runs) never auto-upgrades."""
+    if mode is None:
+        mode = DESCENT_MODE
+    if mode == "auto" and has_seeds and row_elems <= AUTO_IKDEP_MAX_ELEMS:
+        return "sint"
+    return _resolve_auto(mode, row_elems)
+
+
+def exact_terminal_mode(selects, mode: str | None = None, seeds=None) -> bool:
+    """Whether ``radix_select_multi(..., keyed=True, want_terminal=True)``
+    will return terminal keys for these arguments — i.e. the resolved
+    mode exits with the selected element's full key (everything except
+    the member-path ``nocon``/``defer``). Lets callers branch instead of
+    using the NotImplementedError as control flow."""
+    if not selects:
+        return False
+    k0 = selects[0][0]
+    m = _resolve_mode(mode, int(k0.shape[0]) * int(k0.shape[1]), seeds is not None)
+    return (
+        m == "sint"
+        or m.startswith("interval")
+        or m in ("dep", "ikdep", "cum16", "cum256", "spec6", "spec4")
+    )
+
+
 def radix_descend_multi(selects, mode: str | None = None):
     """The fused descent of :func:`radix_select_multi` without the field
     resolution: returns per-descent ``(prefix, it)`` — the consumed key
@@ -1052,21 +1085,13 @@ def radix_select_multi(
     member with the smallest linear index supplies EVERY field, so
     multi-field reads (the φ kernels' (cos, sin) pairs) always come from
     one actual pixel (round-1 advisor finding)."""
-    if mode is None:
-        mode = DESCENT_MODE
     if selects:
         k0 = selects[0][0]
-        elems = int(k0.shape[0]) * int(k0.shape[1])
-        # "auto" + seeds ⇒ the seeded interval descent, at every size whose
-        # hoisted-ik footprint fits (the same bound that gates ikdep):
-        # measured 4 251 vs ikdep's 3 717–3 762 MPix/s at 64×512²
-        # (benchmarks/descent_ablation --modes ikdep sint), and strictly
-        # fewer syncs than plain interval on the sync-bound small tiles.
-        # An EXPLICITLY pinned mode (ablation runs) never auto-upgrades.
-        if mode == "auto" and seeds is not None and elems <= AUTO_IKDEP_MAX_ELEMS:
-            mode = "sint"
-        else:
-            mode = _resolve_auto(mode, elems)
+        mode = _resolve_mode(
+            mode, int(k0.shape[0]) * int(k0.shape[1]), seeds is not None
+        )
+    elif mode is None:
+        mode = DESCENT_MODE
     if mode != "sint":
         seeds = None  # seeding is the sint mode's contract; others ignore it
         counts = None

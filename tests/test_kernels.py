@@ -272,6 +272,95 @@ class TestSelectionKernel:
             # seed contract the mega kernel's scratch carry relies on.
             assert int(term) == int(ik_of(valid[r])), (seed_kind, r)
 
+    @pytest.mark.parametrize("seed_kind", ["near", "far", "invalid"])
+    def test_seeded_interval_with_counts_bit_exact(self, seed_kind):
+        """The known-count init skip (``counts=``, commit 'init pass on
+        seeded steps'): with valid seeds the descent starts from loose
+        whole-line bounds and the caller's member count — the selection
+        must stay exact for near/far seeds, and invalid seeds must fall
+        back to the computed init (identical results either way). Also
+        pins the count-0 convention (sentinel, like the computed init)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.selection import _monotone_key, radix_select_multi
+
+        rng = np.random.default_rng(37)
+        x = np.where(rng.random(4096) < 0.25, np.inf, rng.standard_normal(4096)).astype(
+            np.float32
+        )
+        valid_sorted = np.sort(x[np.isfinite(x)])
+        n_valid = len(valid_sorted)
+        ranks = [3, n_valid // 2, n_valid - 2]
+        key = _monotone_key(jnp.asarray(x.reshape(32, 128)))
+        sels = [(key, jnp.int32(r), (jnp.asarray(x.reshape(32, 128)),)) for r in ranks]
+
+        def ik_of(v):
+            u = np.float32(v).view(np.uint32)
+            k = u ^ (np.uint32(0xFFFFFFFF) if (u >> 31) else np.uint32(0x80000000))
+            return jnp.int32(np.int32(k ^ np.uint32(0x80000000)))
+
+        flag = jnp.asarray(seed_kind != "invalid")
+        off = 1.003 if seed_kind == "near" else 42.0
+        seeds = [(ik_of(valid_sorted[r] * off), flag) for r in ranks]
+        counts = tuple(jnp.int32(n_valid) for _ in ranks)
+
+        got = radix_select_multi(sels, keyed=True, mode="sint", seeds=seeds, counts=counts)
+        for r, (val,) in zip(ranks, got):
+            assert float(val) == valid_sorted[r], (seed_kind, r)
+
+        # count 0 (caller-known empty field) resolves to the +inf sentinel
+        empty = jnp.full((8, 128), jnp.inf, jnp.float32)
+        ekey = _monotone_key(empty)
+        (got0,) = radix_select_multi(
+            [(ekey, jnp.int32(0), (empty,))],
+            keyed=True,
+            mode="sint",
+            seeds=[(jnp.int32(0), jnp.asarray(True))],
+            counts=(jnp.int32(0),),
+        )
+        assert np.isinf(float(got0[0]))
+
+    def test_mega_kernel_miss_streak_heterogeneous_parity(self):
+        """The per-pair miss-streak cutout (scratch slots 4–5) must never
+        change results: an alternating-distribution batch (every conc
+        seed misses; the streak trips mid-batch, disables, and the
+        machinery keeps comparing terminals) with a uniform row mixed in
+        stays bit-identical to the unseeded radix descent."""
+        import jax
+
+        import stainx_tpu.kernels.selection as sel
+        from stainx_tpu.kernels.macenko_fused import macenko_transform_mega
+        from stainx_tpu.ops.macenko import macenko_fit
+        from tests.oracles import numpy_reference as oracle
+
+        ref = oracle.synthetic_he_tile(96, 96, seed=42)
+        a = np.concatenate(
+            [oracle.synthetic_he_tile(96, 96, seed=100 + i, he_scale=0.7) for i in range(5)]
+        )
+        b = np.concatenate(
+            [oracle.synthetic_he_tile(96, 96, seed=200 + i, he_scale=1.4) for i in range(5)]
+        )
+        batch = np.empty((10, 3, 96, 96), np.uint8)
+        batch[0::2], batch[1::2] = a, b
+        batch[4] = 128  # uniform row mid-stream
+        he, tmc = macenko_fit(ref, use_pallas=False)
+
+        outs = {}
+        for mode in ("ikdep", "sint"):
+            sel.DESCENT_MODE = mode
+            jax.clear_caches()
+            try:
+                outs[mode] = np.asarray(
+                    macenko_transform_mega(batch, he, tmc, interpret=True)
+                )
+            finally:
+                sel.DESCENT_MODE = "auto"
+        jax.clear_caches()
+        diff = int(
+            np.abs(outs["sint"].astype(np.int32) - outs["ikdep"].astype(np.int32)).max()
+        )
+        assert diff == 0
+
     def test_interval_stop_span_lower_bound(self):
         """``stop_span`` turns the interval descent into an estimator: the
         returned klo must be a LOWER bound on the rank element's key,
