@@ -258,7 +258,15 @@ def _select_seeded(selects, seed_slots, seed_ref, streak_slot, counts=None):
     after the stream stabilizes. The streak is per pair because the
     pairs decorrelate: the alternating-scale batch leaves the
     scale-invariant φ angles' seeds HITTING while both concentration
-    seeds miss every image — a shared streak would never trip."""
+    seeds miss every image — a shared streak would never trip.
+
+    NaN caveat: ``counts`` includes every pixel the caller counted, but
+    the descent's loose-init skip excludes NaN-keyed elements (their key
+    is the sentinel). With non-finite input pixels — which no layer
+    validates, matching the reference — the seeded counts path can
+    therefore select a different element than the other descent modes:
+    cross-mode bit-parity is guaranteed for finite inputs only (both
+    results are garbage-in anyway; round-4 advisor note)."""
     pid = pl.program_id(0)
     streak = seed_ref[streak_slot]
     valid = (pid > 0) & (streak < _MISS_LIMIT)

@@ -65,6 +65,8 @@ from stainx_tpu.kernels import interpret_mode
 from stainx_tpu.kernels.macenko_fused import (
     _BETA,
     _IO,
+    _MISS_DELTA,
+    _MISS_LIMIT,
     _cov_scalars,
     _dir_from_pseudo,
     _eigh3_top2_scalars,
@@ -146,8 +148,13 @@ def _stream_mega_kernel(
     # scratch, place sweep 1's cuts around the expected percentile instead
     # of even-splitting the full int32 key space. Cuts remain exact counted
     # probes — results stay bit-exact for any seed; step 0 descends
-    # unseeded.
-    seed_valid = i > 0
+    # unseeded. Per-pair miss-streak cutout (``_MISS_LIMIT``, mirrored
+    # from the resident kernel's round-4 mechanism): a persistently
+    # heterogeneous stream would otherwise pay the seeded sweep's weaker
+    # 2×-narrowing — extra whole-HBM sweeps — on EVERY image; with the
+    # cutout the penalty is bounded at ~2 images per pair, after which
+    # the subsample sweep-2 seeding (which the same flag re-enables)
+    # takes over per image (round-4 advisor finding).
 
     def in_dma(slot, t, ch):
         return pltpu.make_async_copy(x_hbm.at[i, ch, t], buf.at[slot, ch], sem.at[slot, ch])
@@ -261,7 +268,7 @@ def _stream_mega_kernel(
     # (round-3 review findings, both directions).
     _NA = sweep_acc_width(_N_CUTS)
 
-    def run_descents(field_fns, descents, seed_slots, totals):
+    def run_descents(field_fns, descents, seed_slots, streak_slot, totals):
         """``field_fns``: (od, valid) → signed-key chunk view, computed
         ONCE per chunk on sweep 1 (which spans the whole key space and
         doubles as range discovery, cf. selection_stream) and cached in
@@ -269,6 +276,10 @@ def _stream_mega_kernel(
         pairs counted on it; ``seed_slots``: per-descent seed scratch
         index (sweep-1 cuts come from that slot's previous-image terminal
         key when valid, and the terminal key is written back);
+        ``streak_slot``: this pair's miss-streak counter slot — seeding
+        disables while the streak is ≥ ``_MISS_LIMIT`` (all of the pair's
+        terminals landed outside the widest probe bracket on consecutive
+        images) and the subsample seeding takes its place;
         ``totals``: per-descent total valid count (scales ranks onto the
         subsample). Returns each terminal klo.
 
@@ -284,6 +295,8 @@ def _stream_mega_kernel(
         k_d = len(descents)
         n_fields = len(field_fns)
         ranks = [r for _fi, r in descents]
+        streak = seed_ref[streak_slot]
+        seed_valid = (i > 0) & (streak < _MISS_LIMIT)
         stride = -(-n_chunks // _SUB_ROWS)  # ceil: sample every stride-th chunk
         rows_used = -(-n_chunks // stride)
 
@@ -514,8 +527,26 @@ def _stream_mega_kernel(
 
         state = jax.lax.while_loop(cond, body, tuple(state))
         terminals = [state[1 + _NS * d] for d in range(k_d)]
+        # Miss detection BEFORE the write-back: terminals are compared
+        # against the previous image's regardless of whether seeding was
+        # active, so a stabilized stream re-enables itself one image after
+        # the terminals settle (resident-kernel semantics, _select_seeded).
+        lim = jnp.int32(1 << 20)
+        all_far = None
         for d in range(k_d):
+            prev = jnp.clip(
+                seed_ref[seed_slots[d]],
+                jnp.int32(_I32MIN) + lim,
+                jnp.int32(_I32MAX) - lim,
+            )
+            far = (terminals[d] > prev + jnp.int32(_MISS_DELTA)) | (
+                terminals[d] < prev - jnp.int32(_MISS_DELTA)
+            )
+            all_far = far if all_far is None else (all_far & far)
             seed_ref[seed_slots[d]] = terminals[d]
+        seed_ref[streak_slot] = jnp.where(
+            i == 0, jnp.int32(0), jnp.where(all_far, streak + 1, jnp.int32(0))
+        )
         return terminals
 
     # --- phase B: φ percentiles on the diamond angle -----------------------
@@ -532,7 +563,7 @@ def _stream_mega_kernel(
     r_lo = nearest_rank_index(alpha, cnt_i32)
     r_hi = nearest_rank_index(100 - alpha, cnt_i32)
     klo_lo, klo_hi = run_descents(
-        [phi_ik], [(0, r_lo), (0, r_hi)], (0, 1), (cnt_i32, cnt_i32)
+        [phi_ik], [(0, r_lo), (0, r_hi)], (0, 1), 4, (cnt_i32, cnt_i32)
     )
     cos_lo, sin_lo = _dir_from_pseudo(_f32_from_ik_scalar(klo_lo))
     cos_hi, sin_hi = _dir_from_pseudo(_f32_from_ik_scalar(klo_hi))
@@ -552,6 +583,7 @@ def _stream_mega_kernel(
         [c0_ik, c1_ik],
         [(0, rank_c), (1, rank_c)],
         (2, 3),
+        5,
         (jnp.int32(p_true), jnp.int32(p_true)),
     )
     maxc0 = _f32_from_ik_scalar(kc0)
@@ -653,9 +685,10 @@ def macenko_transform_stream(
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.VMEM((2, 2, _SUB, _CK), jnp.int32),
             pltpu.SemaphoreType.DMA((2, 2)),
-            # Cross-image seed scratch (4 terminal keys: φ lo/hi, c0/c1) —
-            # persists across the sequential grid steps.
-            pltpu.SMEM((4,), jnp.int32),
+            # Cross-image seed scratch (4 terminal keys: φ lo/hi, c0/c1 +
+            # one miss-streak counter per loop-pair) — persists across the
+            # sequential grid steps.
+            pltpu.SMEM((6,), jnp.int32),
             # Subsample key rows collected by each phase's sweep 1 (per
             # field) — the sweep-2 seed source for single-image rows.
             pltpu.VMEM((2, _SUB_ROWS, _CK), jnp.int32),

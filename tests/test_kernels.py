@@ -346,6 +346,7 @@ class TestSelectionKernel:
         he, tmc = macenko_fit(ref, use_pallas=False)
 
         outs = {}
+        prev_mode = sel.DESCENT_MODE  # restore whatever was active, not "auto"
         for mode in ("ikdep", "sint"):
             sel.DESCENT_MODE = mode
             jax.clear_caches()
@@ -354,7 +355,7 @@ class TestSelectionKernel:
                     macenko_transform_mega(batch, he, tmc, interpret=True)
                 )
             finally:
-                sel.DESCENT_MODE = "auto"
+                sel.DESCENT_MODE = prev_mode
         jax.clear_caches()
         diff = int(
             np.abs(outs["sint"].astype(np.int32) - outs["ikdep"].astype(np.int32)).max()
