@@ -150,20 +150,24 @@ def _cov_scalars(cnt, s0, s1_, s2_, xx, xy, xz, yy, yz, zz):
     return a00, a01, a02, a11, a12, a22
 
 
-def _stain_scalars_from_phi(evs, cos_lo, sin_lo, cos_hi, sin_hi):
-    """φ-extreme stain vectors → H/E ordering → 2×2 normal-equation rows
-    ``(m0, m1)``, scalar-only — shared by both kernels (the maxC guard
-    below was a round-2 advisor fix that had to be applied twice; this is
-    the lesson). ``evs``: the 6 eigenvector scalars of
-    :func:`_eigh3_top2_scalars`. jnp twins: ``ops.macenko.
-    _he_from_phi_extremes`` + ``_concentrations_2x2``."""
+def _he_scalars_from_phi(evs, cos_lo, sin_lo, cos_hi, sin_hi):
+    """φ-extreme stain vectors → H/E-ordered columns ``(h0, h1)``,
+    scalar-only (jnp twin: ``ops.macenko._he_from_phi_extremes``). Split
+    out of :func:`_stain_scalars_from_phi` because the fit kernels output
+    the HE matrix itself (``torch_backend.py:502-510``)."""
     v00, v10, v20, v01, v11, v21 = evs
     vmin = [v00 * cos_lo + v01 * sin_lo, v10 * cos_lo + v11 * sin_lo, v20 * cos_lo + v21 * sin_lo]
     vmax = [v00 * cos_hi + v01 * sin_hi, v10 * cos_hi + v11 * sin_hi, v20 * cos_hi + v21 * sin_hi]
     swap = vmin[0] > vmax[0]
     h0 = [jnp.where(swap, vmin[c], vmax[c]) for c in range(3)]
     h1 = [jnp.where(swap, vmax[c], vmin[c]) for c in range(3)]
+    return h0, h1
 
+
+def _normal_rows_from_he(h0, h1):
+    """2×2 normal-equation rows ``(m0, m1)`` of the HE columns — the
+    closed-form least-squares solve (jnp twin: ``ops.macenko.
+    _concentrations_2x2``)."""
     a = h0[0] * h0[0] + h0[1] * h0[1] + h0[2] * h0[2]
     b = h0[0] * h1[0] + h0[1] * h1[1] + h0[2] * h1[2]
     c_ = h1[0] * h1[0] + h1[1] * h1[1] + h1[2] * h1[2]
@@ -174,6 +178,17 @@ def _stain_scalars_from_phi(evs, cos_lo, sin_lo, cos_hi, sin_hi):
     m0 = [(c_ * h0[d] - b * h1[d]) * inv_det for d in range(3)]
     m1 = [(a * h1[d] - b * h0[d]) * inv_det for d in range(3)]
     return m0, m1
+
+
+def _stain_scalars_from_phi(evs, cos_lo, sin_lo, cos_hi, sin_hi):
+    """φ-extreme stain vectors → H/E ordering → 2×2 normal-equation rows
+    ``(m0, m1)``, scalar-only — shared by both transform kernels (the maxC
+    guard below was a round-2 advisor fix that had to be applied twice;
+    this is the lesson). ``evs``: the 6 eigenvector scalars of
+    :func:`_eigh3_top2_scalars`. jnp twins: ``ops.macenko.
+    _he_from_phi_extremes`` + ``_concentrations_2x2``."""
+    h0, h1 = _he_scalars_from_phi(evs, cos_lo, sin_lo, cos_hi, sin_hi)
+    return _normal_rows_from_he(h0, h1)
 
 
 def _maxc_scale(tmc, maxc):
@@ -486,3 +501,135 @@ def fused_row_budget_ok(images_shape, dtype) -> bool:
     _, c, h, w = images_shape
     itemsize = 1 if dtype == jnp.uint8 else 4
     return h * w <= MAX_FUSED_PIXELS and c * h * w * itemsize <= MAX_ROW_BYTES
+
+
+# ---------------------------------------------------------------- fit kernel
+def _fit_mega_kernel(x_ref, out_ref, *, is_uint8: bool, p_true: int, alpha: int,
+                     idx_hi_conc: int):
+    """The ENTIRE pooled Macenko fit in one kernel: OD, β-filter, moments,
+    scalar eigh, φ percentile selects, HE ordering, concentration 99th
+    percentiles — one VMEM residency, HBM traffic = one read of the
+    pooled input + an 8-scalar SMEM write.
+
+    Fit semantics (``compute_reference_stain_matrix_torch``,
+    ``torch_backend.py:463-519``, matching ``ops.macenko.macenko_fit``):
+    pixels of the whole batch POOLED into one row, β-filter **without**
+    the <3-pixel fallback, covariance and φ percentiles over filtered
+    pixels only, concentrations and their 99th percentile over ALL pooled
+    pixels. No reconstruction — the outputs ARE the fitted parameters."""
+    od = _od_planes(x_ref, is_uint8)
+    s, lane = od[0].shape
+    idx = jax.lax.broadcasted_iota(jnp.int32, (s, lane), 0) * lane + (
+        jax.lax.broadcasted_iota(jnp.int32, (s, lane), 1)
+    )
+    in_image = idx < p_true
+
+    od_min = jnp.minimum(jnp.minimum(od[0], od[1]), od[2])
+    bmask = (od_min >= _BETA) & in_image
+    y = [o - 1.0 for o in od]  # centered (cov is center-invariant)
+
+    w = bmask.astype(jnp.float32)
+    cnt = jnp.sum(w)
+    s0, s1_, s2_ = jnp.sum(w * y[0]), jnp.sum(w * y[1]), jnp.sum(w * y[2])
+    xx = jnp.sum(w * y[0] * y[0])
+    xy = jnp.sum(w * y[0] * y[1])
+    xz = jnp.sum(w * y[0] * y[2])
+    yy = jnp.sum(w * y[1] * y[1])
+    yz = jnp.sum(w * y[1] * y[2])
+    zz = jnp.sum(w * y[2] * y[2])
+
+    evs = _eigh3_top2_scalars(*_cov_scalars(cnt, s0, s1_, s2_, xx, xy, xz, yy, yz, zz))
+    v00, v10, v20, v01, v11, v21 = evs
+
+    t0 = od[0] * v00 + od[1] * v10 + od[2] * v20
+    t1 = od[0] * v01 + od[1] * v11 + od[2] * v21
+    pseudo = _pseudo_angle(t0, t1)
+    key = _monotone_key(jnp.where(bmask, pseudo, jnp.inf))
+
+    cnt_i = jnp.round(cnt).astype(jnp.int32)
+    from stainx_tpu.ops.percentile import nearest_rank_index
+
+    r_lo = nearest_rank_index(alpha, cnt_i)
+    r_hi = nearest_rank_index(100 - alpha, cnt_i)
+    phi_results = radix_select_multi(
+        [(key, r_lo, (pseudo,)), (key, r_hi, (pseudo,))], keyed=True
+    )
+    cos_lo, sin_lo = _dir_from_pseudo(phi_results[0][0])
+    cos_hi, sin_hi = _dir_from_pseudo(phi_results[1][0])
+    h0, h1 = _he_scalars_from_phi(evs, cos_lo, sin_lo, cos_hi, sin_hi)
+    m0, m1 = _normal_rows_from_he(h0, h1)
+
+    c0 = od[0] * m0[0] + od[1] * m0[1] + od[2] * m0[2]
+    c1 = od[0] * m1[0] + od[1] * m1[1] + od[2] * m1[2]
+    rank_hi = jnp.int32(idx_hi_conc)
+    c_results = radix_select_multi(
+        [
+            (_monotone_key(jnp.where(in_image, c0, jnp.inf)), rank_hi, (c0,)),
+            (_monotone_key(jnp.where(in_image, c1, jnp.inf)), rank_hi, (c1,)),
+        ],
+        keyed=True,
+    )
+    (maxc0,), (maxc1,) = c_results
+
+    # (3, 2) HE row-major, then the two max concentrations.
+    for c in range(3):
+        out_ref[2 * c] = h0[c]
+        out_ref[2 * c + 1] = h1[c]
+    out_ref[6] = maxc0
+    out_ref[7] = maxc1
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def macenko_fit_mega(images, interpret: bool | None = None):
+    """One-kernel Macenko fit: (N, 3, H, W) uint8/float [0,1] → fitted
+    ``(stain_matrix (3, 2) f32, max_concentrations (2,) f32)``. All N
+    images' pixels pool into ONE row (fit semantics pool the batch,
+    ``torch_backend.py:469-474``), so HBM traffic is one read of the
+    input. Counterpart of the reference's fit-side CUDA pipeline
+    (``csrc/macenko.cu:29-262``) with the transform mega kernel's
+    machinery; the <3-pixel fallback is intentionally absent at fit."""
+    if interpret is None:
+        interpret = interpret_mode()
+    n, c, h, w = images.shape
+    # Channel-major pooling: each channel's plane is the concatenation of
+    # every image's plane (a plain reshape would interleave channels).
+    # For N == 1 the transpose is a no-op; for pooled batches XLA folds it
+    # into the layout copy the padding pass makes anyway.
+    pooled = jnp.transpose(images.reshape(n, c, h * w), (1, 0, 2))
+    x4, p_true, s = _row_layout(pooled.reshape(1, c, 1, n * h * w))
+
+    from stainx_tpu.ops.macenko import ALPHA
+    from stainx_tpu.ops.percentile import static_nearest_rank_index
+
+    idx_hi_conc = static_nearest_rank_index(99, p_true)
+    kernel = functools.partial(
+        _fit_mega_kernel,
+        is_uint8=images.dtype == jnp.uint8,
+        p_true=p_true,
+        alpha=int(ALPHA),
+        idx_hi_conc=idx_hi_conc,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[
+            pl.BlockSpec((1, 3, s, _LANE), lambda i: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((8,), jnp.float32),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+    )(x4)
+    return out[:6].reshape(3, 2), out[6:8]
+
+
+def fused_fit_budget_ok(images_shape, dtype) -> bool:
+    """Pooled-row budget for :func:`macenko_fit_mega` — the transform
+    kernel's per-image VMEM bounds applied to the POOLED pixel count
+    (fit's row unit is the whole batch)."""
+    if dtype not in (jnp.uint8, jnp.float32):
+        return False
+    n, c, h, w = images_shape
+    itemsize = 1 if dtype == jnp.uint8 else 4
+    pooled = n * h * w
+    return pooled <= MAX_FUSED_PIXELS and c * pooled * itemsize <= MAX_ROW_BYTES

@@ -70,10 +70,11 @@ from stainx_tpu.kernels.macenko_fused import (
     _cov_scalars,
     _dir_from_pseudo,
     _eigh3_top2_scalars,
+    _he_scalars_from_phi,
     _maxc_scale,
+    _normal_rows_from_he,
     _od_from_planes,
     _pseudo_angle,
-    _stain_scalars_from_phi,
 )
 from stainx_tpu.kernels.selection import (
     _SEED_DELTAS,
@@ -97,6 +98,7 @@ from stainx_tpu.kernels.selection_stream import (
 )
 
 _SUB = 32
+_LANE_MIN = 128  # minimum VMEM tile lane width (placeholder scratch)
 _CK = 2048  # chunk lanes: 64 K px per chunk, 64 KB uint8 per channel buffer
 # Ladder width. The mega kernel's sweeps are COMPUTE-bound (~10× the
 # chunk-DMA cost), so per-sweep count work ~ n_cuts dominates and narrow
@@ -139,7 +141,14 @@ def _stream_mega_kernel(
     n_chunks: int,
     alpha: int,
     idx_hi_conc: int,
+    fit_mode: bool = False,
 ):
+    """``fit_mode`` (static): run phases A–C with FIT semantics — no
+    <3-pixel fallback, φ percentiles over β-filtered pixels only, the
+    concentration 99th percentiles over all pooled pixels — and write the
+    8 fitted scalars (HE row-major + maxC pair) to ``out_hbm`` (an SMEM
+    params ref in that mode) instead of reconstructing
+    (``torch_backend.py:463-519``; jnp twin ``ops.macenko.macenko_fit``)."""
     i = pl.program_id(0)
     chunk_px = _SUB * _CK
     # Cross-image seeding (the resident mega kernel's round-4 trick, where
@@ -207,7 +216,8 @@ def _stream_mega_kernel(
         bmask = (od_min >= _BETA) & valid
         y = [o - 1.0 for o in od]  # centered (cov is center-invariant)
         new_acc = []
-        for si, w_mask in enumerate((bmask, valid)):
+        # Fit mode: β-masked set only — no <3-pixel fallback at fit.
+        for si, w_mask in enumerate((bmask,) if fit_mode else (bmask, valid)):
             base = _NM * si
             w = w_mask.astype(jnp.float32)
             part = [  # this chunk's 9 f32 moment partials
@@ -243,12 +253,17 @@ def _stream_mega_kernel(
         return tuple(new_acc)
 
     zf, zi = jnp.float32(0.0), jnp.int32(0)
-    m = streamed(moments_body, ((zi,) + (zf,) * 18) * 2)
-    use_all = m[0] < 3
-    cnt_i32 = jnp.where(use_all, m[_NM], m[0])
-    s0, s1_, s2_, xx, xy, xz, yy, yz, zz = (
-        jnp.where(use_all, m[_NM + k], m[k]) for k in range(1, 10)
-    )
+    m = streamed(moments_body, ((zi,) + (zf,) * 18) * (1 if fit_mode else 2))
+    if fit_mode:
+        use_all = jnp.asarray(False)
+        cnt_i32 = m[0]
+        s0, s1_, s2_, xx, xy, xz, yy, yz, zz = (m[k] for k in range(1, 10))
+    else:
+        use_all = m[0] < 3
+        cnt_i32 = jnp.where(use_all, m[_NM], m[0])
+        s0, s1_, s2_, xx, xy, xz, yy, yz, zz = (
+            jnp.where(use_all, m[_NM + k], m[k]) for k in range(1, 10)
+        )
     cnt = cnt_i32.astype(jnp.float32)
 
     evs = _eigh3_top2_scalars(*_cov_scalars(cnt, s0, s1_, s2_, xx, xy, xz, yy, yz, zz))
@@ -567,7 +582,8 @@ def _stream_mega_kernel(
     )
     cos_lo, sin_lo = _dir_from_pseudo(_f32_from_ik_scalar(klo_lo))
     cos_hi, sin_hi = _dir_from_pseudo(_f32_from_ik_scalar(klo_hi))
-    m0, m1 = _stain_scalars_from_phi(evs, cos_lo, sin_lo, cos_hi, sin_hi)
+    h0, h1 = _he_scalars_from_phi(evs, cos_lo, sin_lo, cos_hi, sin_hi)
+    m0, m1 = _normal_rows_from_he(h0, h1)
 
     # --- phase C: concentration 99th percentiles ---------------------------
     def c0_ik(od, valid):
@@ -588,6 +604,16 @@ def _stream_mega_kernel(
     )
     maxc0 = _f32_from_ik_scalar(kc0)
     maxc1 = _f32_from_ik_scalar(kc1)
+
+    if fit_mode:
+        # The fitted parameters ARE the output: (3, 2) HE row-major, then
+        # the two max concentrations. No reconstruction phase.
+        for ch in range(3):
+            out_hbm[2 * ch] = h0[ch]
+            out_hbm[2 * ch + 1] = h1[ch]
+        out_hbm[6] = maxc0
+        out_hbm[7] = maxc1
+        return
 
     tmc0, tmc1 = params_ref[0, 0], params_ref[0, 1]
     stain = [[params_ref[0, 2 + 2 * c + k] for k in range(2)] for c in range(3)]
@@ -721,3 +747,84 @@ def macenko_transform_stream(
     if pad:
         out = out[:, :, :p_true]
     return out.reshape(n, c, h, w)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def macenko_fit_stream(images, interpret: bool | None = None):
+    """Streaming one-kernel Macenko fit: (N, 3, H, W) uint8/float32 [0,1]
+    → fitted ``(stain_matrix (3, 2) f32, max_concentrations (2,) f32)``.
+
+    All N images pool into ONE row (fit semantics pool the batch,
+    ``torch_backend.py:469-474``) which streams chunk-by-chunk: phases
+    A–C of the transform kernel with fit semantics, no reconstruction.
+    The subsample sweep-2 seeding applies in full — a pooled fit is
+    always a single "image 0" row, exactly the case it was built for.
+    Serves every pooled size past :func:`..macenko_fused.
+    fused_fit_budget_ok`'s VMEM budget; the row ceiling is HBM (input +
+    the 8 B/px key cache), like the streaming transform's."""
+    if interpret is None:
+        interpret = interpret_mode()
+    if images.dtype not in (jnp.uint8, jnp.float32):
+        raise TypeError(
+            f"macenko_fit_stream lowers only uint8/float32 inputs, got "
+            f"{images.dtype}; other dtypes take the XLA path "
+            "(ops.macenko.macenko_fit)."
+        )
+    n, c, h, w = images.shape
+    p_true = n * h * w
+    chunk_px = _SUB * _CK
+    pad = (-p_true) % chunk_px
+    # Channel-major pooling (a plain reshape would interleave channels).
+    flat = jnp.transpose(images.reshape(n, c, h * w), (1, 0, 2)).reshape(1, c, p_true)
+    if pad:
+        pad_value = 255 if images.dtype == jnp.uint8 else 1.0
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)), constant_values=pad_value)
+    n_chunks = flat.shape[2] // chunk_px
+    x5 = flat.reshape(1, c, n_chunks, _SUB, _CK)
+
+    from stainx_tpu.ops.macenko import ALPHA
+    from stainx_tpu.ops.percentile import static_nearest_rank_index
+
+    idx_hi_conc = static_nearest_rank_index(99, p_true)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(1,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, _SUB, _CK), images.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            # obuf/osem exist only for the transform's phase D (untraced
+            # here) — minimum-size placeholders keep the ref signature.
+            pltpu.VMEM((2, 3, 8, _LANE_MIN), images.dtype),
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, 2, _SUB, _CK), jnp.int32),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SMEM((6,), jnp.int32),
+            pltpu.VMEM((2, _SUB_ROWS, _CK), jnp.int32),
+        ],
+    )
+    kernel = functools.partial(
+        _stream_mega_kernel,
+        is_uint8=images.dtype == jnp.uint8,
+        p_true=p_true,
+        n_chunks=n_chunks,
+        alpha=int(ALPHA),
+        idx_hi_conc=idx_hi_conc,
+        fit_mode=True,
+    )
+    params = jnp.zeros((1, 8), jnp.float32)  # unused in fit mode
+    out, _keys = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((8,), jnp.float32),
+            jax.ShapeDtypeStruct((2, n_chunks, _SUB, _CK), jnp.int32),
+        ],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
+    )(params, x5)
+    return out[:6].reshape(3, 2), out[6:8]

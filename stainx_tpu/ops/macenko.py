@@ -439,7 +439,24 @@ def macenko_fit(images: jnp.ndarray, use_pallas: bool = False) -> tuple[jnp.ndar
     percentiles of φ over filtered pixels, concentrations and their 99th
     percentile over ALL pooled pixels. Fully jittable so batch mode
     (fit-per-forward) stays on-device.
+
+    Pallas routing mirrors the transform's size ladder: pooled rows
+    within the resident VMEM budget run the one-kernel fused fit
+    (:func:`...kernels.macenko_fused.macenko_fit_mega` — the batch-mode
+    fit-per-forward hot path); larger pools run the streaming fit
+    (:func:`...kernels.macenko_stream.macenko_fit_stream`). Unsupported
+    dtypes fall through to the jnp pipeline below.
     """
+    if use_pallas:
+        from stainx_tpu.kernels.macenko_fused import fused_fit_budget_ok, macenko_fit_mega
+
+        if fused_fit_budget_ok(images.shape, images.dtype):
+            return macenko_fit_mega(images)
+        if STREAM_MEGA_ENABLED and images.dtype in (jnp.uint8, jnp.float32):
+            from stainx_tpu.kernels.macenko_stream import macenko_fit_stream
+
+            return macenko_fit_stream(images)
+
     images_float = color.normalize_to_float(images)
     n, _, h, w = images_float.shape
     ptot = n * h * w

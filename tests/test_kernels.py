@@ -565,6 +565,107 @@ class TestStreamingMegaKernel:
         )
 
 
+class TestFitKernels:
+    """Fused fit kernels (resident ``macenko_fit_mega`` + streaming
+    ``macenko_fit_stream``) vs the jnp fit pipeline — fit semantics
+    (``torch_backend.py:463-519``): batch pixels pooled, β-filter without
+    the <3 fallback, maxC over all pooled pixels. Differences vs jnp are
+    diamond-angle cos/sin recovery ulps + accumulation-order ulps, far
+    inside the reference-parity fit gates (rtol 1e-4 / 1e-3)."""
+
+    def _assert_fit_close(self, got, want, he_atol=2e-5, mc_rtol=1e-4):
+        he_k, mc_k = got
+        he_j, mc_j = want
+        np.testing.assert_allclose(np.asarray(he_k), np.asarray(he_j), atol=he_atol)
+        np.testing.assert_allclose(
+            np.asarray(mc_k).reshape(-1), np.asarray(mc_j).reshape(-1), rtol=mc_rtol
+        )
+
+    @pytest.mark.parametrize("dtype", ["uint8", "float32"])
+    def test_fit_mega_matches_jnp(self, dtype):
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.macenko_fused import macenko_fit_mega
+        from stainx_tpu.ops import macenko as mk
+
+        img = oracle_tile(96)
+        if dtype == "float32":
+            img = img.astype(np.float32) / 255.0
+        self._assert_fit_close(
+            macenko_fit_mega(jnp.asarray(img), interpret=True),
+            mk.macenko_fit(jnp.asarray(img), use_pallas=False),
+        )
+
+    def test_fit_mega_pools_batch(self):
+        """Pooling is channel-major: a plain reshape would interleave the
+        images' channels (caught live — the first cut returned he maxdiff
+        ~1.2 on a 4-image batch)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.macenko_fused import macenko_fit_mega
+        from stainx_tpu.ops import macenko as mk
+
+        batch = np.concatenate(
+            [oracle_tile(64, seed=s, he_scale=1.0 + 0.1 * s) for s in (1, 2, 3, 4)]
+        )
+        self._assert_fit_close(
+            macenko_fit_mega(jnp.asarray(batch), interpret=True),
+            mk.macenko_fit(jnp.asarray(batch), use_pallas=False),
+        )
+
+    @pytest.mark.parametrize("dtype", ["uint8", "float32"])
+    def test_fit_stream_matches_jnp(self, dtype):
+        """Multi-chunk pooled row (4×128² = 65 536 px pads to 2 chunks) —
+        the chunked moments + subsample-seeded descents under fit
+        semantics."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.macenko_stream import macenko_fit_stream
+        from stainx_tpu.ops import macenko as mk
+
+        batch = np.concatenate(
+            [oracle_tile(128, seed=s, he_scale=1.0 + 0.05 * s) for s in (1, 2, 3, 4)]
+        )
+        if dtype == "float32":
+            batch = batch.astype(np.float32) / 255.0
+        self._assert_fit_close(
+            macenko_fit_stream(jnp.asarray(batch), interpret=True),
+            mk.macenko_fit(jnp.asarray(batch), use_pallas=False),
+        )
+
+    def test_fit_stream_multichunk_tail(self):
+        """A partial tail chunk (300×800 = 240 000 px → 4 chunks) reaches
+        the key-cache steady state and the valid-mask tail in fit mode."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.macenko_stream import macenko_fit_stream
+        from stainx_tpu.ops import macenko as mk
+
+        img = oracle_tile_hw(300, 800, seed=21, he_scale=1.15)
+        self._assert_fit_close(
+            macenko_fit_stream(jnp.asarray(img), interpret=True),
+            mk.macenko_fit(jnp.asarray(img), use_pallas=False),
+        )
+
+    def test_fit_routing(self, monkeypatch, fresh_jit_cache):
+        """macenko_fit(use_pallas=True) routes by the pooled-row budget:
+        small pools hit the resident kernel, large pools the streaming
+        one (budgets shrunk so both routes run at test sizes)."""
+        import jax
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels import macenko_fused as mf
+        from stainx_tpu.ops import macenko as mk
+
+        img = jnp.asarray(oracle_tile(96))
+        want = mk.macenko_fit(img, use_pallas=False)
+        self._assert_fit_close(mk.macenko_fit(img, use_pallas=True), want)
+
+        monkeypatch.setattr(mf, "MAX_FUSED_PIXELS", 1024)  # force stream route
+        jax.clear_caches()
+        self._assert_fit_close(mk.macenko_fit(img, use_pallas=True), want)
+
+
 class TestStreamingSelectionKernel:
     """O(scalars)-state streaming selection (kernels/selection_stream.py) —
     the >VMEM-row replacement for the resident radix kernel (reference
