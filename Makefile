@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: install install-dev test test-tpu bench lint fix docs docs-api clean
+.PHONY: install install-dev test test-tpu tpu-smoke bench lint fix docs docs-api clean
 
 install:
 	$(PY) -m pip install -e .
@@ -17,6 +17,20 @@ test:
 # Run the suite on real TPU hardware instead of the virtual CPU mesh.
 test-tpu:
 	STAINX_TEST_TPU=1 $(PY) -m pytest tests/ -q -m "not slow"
+
+# COMPILED-kernel smoke: the kernel parity subset on the real chip, minutes
+# not tens of minutes — interpret mode accepts programs the Mosaic TPU
+# lowering rejects, so run this after ANY kernel change and stamp the result
+# in docs/correctness_report.md (the reference's self-hosted GPU verify
+# role, upstream ci.yml:139).
+tpu-smoke:
+	STAINX_TEST_TPU=1 $(PY) -m pytest -q -m "not slow" \
+	  tests/test_kernels.py::TestFusedMacenko \
+	  tests/test_kernels.py::TestFitKernels \
+	  tests/test_kernels.py::TestStreamingMegaKernel \
+	  tests/test_kernels.py::TestSelectionKernel \
+	  tests/test_kernels.py::TestHistogramMXUKernel \
+	  tests/test_reference_parity.py
 
 bench:
 	$(PY) bench.py

@@ -249,7 +249,17 @@ _MISS_DELTA = _SEED_DELTAS[0]
 _MISS_LIMIT = 2  # per-pair streak ⇒ a pair stops seeding after 2 all-miss images
 
 
-def _select_seeded(selects, seed_slots, seed_ref, streak_slot, counts=None):
+def _seed_missed(prev, t):
+    """Whether terminal ``t`` landed outside the widest probe bracket
+    around the previous terminal ``prev`` — THE miss test (one definition
+    for the resident, streaming and fit kernels). The clip keeps the
+    bracket arithmetic overflow-free near the int32 edges."""
+    lim = jnp.int32(1 << 20)
+    prev = jnp.clip(prev, jnp.int32(-0x80000000) + lim, jnp.int32(0x7FFFFFFF) - lim)
+    return (t > prev + jnp.int32(_MISS_DELTA)) | (t < prev - jnp.int32(_MISS_DELTA))
+
+
+def _select_seeded(selects, seed_slots, seed_ref, streak_slot, counts=None, have_prev0=None):
     """Keyed rank select with cross-image seeding: probe first around the
     PREVIOUS grid step's terminal keys for the same slots (batch images
     share a staining distribution, so percentiles drift little image to
@@ -281,48 +291,73 @@ def _select_seeded(selects, seed_slots, seed_ref, streak_slot, counts=None):
     validates, matching the reference — the seeded counts path can
     therefore select a different element than the other descent modes:
     cross-mode bit-parity is guaranteed for finite inputs only (both
-    results are garbage-in anyway; round-4 advisor note)."""
+    results are garbage-in anyway; round-4 advisor note).
+
+    ``have_prev0`` (optional scalar): whether grid step 0 ALSO holds a
+    valid previous state — the cross-CALL carry case, where the caller
+    loaded a prior call's terminal keys into the scratch before step 0.
+    Default (None) keeps the original step-0-unseeded behavior."""
     pid = pl.program_id(0)
     streak = seed_ref[streak_slot]
-    valid = (pid > 0) & (streak < _MISS_LIMIT)
+    if have_prev0 is None:
+        have_prev = pid > 0
+    else:
+        have_prev = (pid > 0) | have_prev0
+    valid = have_prev & (streak < _MISS_LIMIT)
     seeds = [(seed_ref[s], valid) for s in seed_slots]
     if not exact_terminal_mode(selects, seeds=seeds):
         return radix_select_multi(selects, keyed=True)  # nocon/defer ablations
     results, terminal = radix_select_multi(
         selects, keyed=True, seeds=seeds, want_terminal=True, counts=counts
     )
-    lim = jnp.int32(1 << 20)
     all_far = None
     for s, t in zip(seed_slots, terminal):
-        prev = jnp.clip(
-            seed_ref[s], jnp.int32(-0x80000000) + lim, jnp.int32(0x7FFFFFFF) - lim
-        )
-        far = (t > prev + jnp.int32(_MISS_DELTA)) | (t < prev - jnp.int32(_MISS_DELTA))
+        far = _seed_missed(seed_ref[s], t)
         all_far = far if all_far is None else (all_far & far)
         seed_ref[s] = t
     seed_ref[streak_slot] = jnp.where(
-        pid == 0, jnp.int32(0), jnp.where(all_far, streak + 1, jnp.int32(0))
+        jnp.logical_not(have_prev),
+        jnp.int32(0),
+        jnp.where(all_far, streak + 1, jnp.int32(0)),
     )
     return results
 
 
 def _mega_kernel(
     params_ref,
-    x_ref,
-    out_ref,
-    seed_ref,
-    *,
+    *rest,
     is_uint8: bool,
     p_true: int,
     alpha: int,
     idx_hi_conc: int,
+    carry: bool = False,
 ):
     """The ENTIRE per-image Macenko transform in one grid step: the row is
     loaded once, every statistic/selection/reconstruction happens in VMEM,
     and the only HBM write is the output row. Per-image indexing lives in
     the BlockSpec index_maps — the kernel body itself is image-agnostic
     (all refs are block-local) except for the cross-image seed scratch
-    (:func:`_select_seeded`)."""
+    (:func:`_select_seeded`).
+
+    ``carry`` (static): cross-CALL seed carry — the caller supplies a
+    prior call's terminal state (7 int32: 4 terminal keys, 2 per-pair
+    miss streaks, 1 valid flag) as a second prefetch operand; grid step 0
+    then seeds like any later image, and the final step's state is
+    written to an SMEM output for the next call. Pure probe placement —
+    outputs stay bit-exact for any state."""
+    if carry:
+        seed_in_ref, x_ref, out_ref, seed_out_ref, seed_ref = rest
+        pid0 = pl.program_id(0)
+
+        @pl.when(pid0 == 0)
+        def _():
+            for s_i in range(6):
+                seed_ref[s_i] = seed_in_ref[0, s_i]
+
+        have_prev0 = seed_in_ref[0, 6] > 0
+    else:
+        x_ref, out_ref, seed_ref = rest
+        have_prev0 = None
     od = _od_planes(x_ref, is_uint8)
     s, lane = od[0].shape
     idx = jax.lax.broadcasted_iota(jnp.int32, (s, lane), 0) * lane + jax.lax.broadcasted_iota(
@@ -379,6 +414,7 @@ def _mega_kernel(
         seed_ref,
         4,
         counts=(cnt_i, cnt_i),
+        have_prev0=have_prev0,
     )
     cos_lo, sin_lo = _dir_from_pseudo(phi_results[0][0])
     cos_hi, sin_hi = _dir_from_pseudo(phi_results[1][0])
@@ -396,6 +432,7 @@ def _mega_kernel(
         seed_ref,
         5,
         counts=(jnp.int32(p_true), jnp.int32(p_true)),
+        have_prev0=have_prev0,
     )
     (maxc0,), (maxc1,) = c_results
 
@@ -413,12 +450,36 @@ def _mega_kernel(
         else:
             out_ref[0, c] = rec
 
+    if carry:
+        @pl.when(pid0 == pl.num_programs(0) - 1)
+        def _():
+            for s_i in range(6):
+                seed_out_ref[s_i] = seed_ref[s_i]
+            seed_out_ref[6] = jnp.int32(1)
+
+
+SEED_STATE_LEN = 7  # 4 terminal keys + 2 per-pair miss streaks + valid flag
+
+
+def seed_state_init():
+    """Fresh (empty) cross-call seed state — valid flag 0, so the first
+    call descends exactly as without carry."""
+    return jnp.zeros((SEED_STATE_LEN,), jnp.int32)
+
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def macenko_transform_mega(images, stain_matrix, target_max_conc, interpret: bool | None = None):
+def macenko_transform_mega(
+    images, stain_matrix, target_max_conc, seed_state=None, interpret: bool | None = None
+):
     """One-kernel Macenko transform: (N, 3, H, W) uint8/float [0,1] →
     normalized batch (same dtype, [0,255] range). HBM traffic = one read of
-    the input + one write of the output."""
+    the input + one write of the output.
+
+    ``seed_state`` (optional, (7,) int32 from :func:`seed_state_init`):
+    cross-CALL seed carry — image 0 of this call seeds its descents from
+    the previous call's terminal keys, and the return becomes
+    ``(out, new_state)``. Bit-exact for any state (probe placement only);
+    the per-pair miss-streak cutout bounds heterogeneous-stream cost."""
     if interpret is None:
         interpret = interpret_mode()
     x4, p_true, s = _row_layout(images)
@@ -434,15 +495,24 @@ def macenko_transform_mega(images, stain_matrix, target_max_conc, interpret: boo
         [target_max_conc.reshape(2).astype(jnp.float32), stain_matrix.reshape(6).astype(jnp.float32)]
     ).reshape(1, 8)
 
+    carry = seed_state is not None
+    n_prefetch = 2 if carry else 1
+    index_map = (lambda i, p_, s_: (i, 0, 0, 0)) if carry else (lambda i, p_: (i, 0, 0, 0))
+    block = pl.BlockSpec((1, 3, s, _LANE), index_map, memory_space=pltpu.VMEM)
+    out_specs = [block, pl.BlockSpec(memory_space=pltpu.SMEM)] if carry else block
+    out_shape = (
+        [
+            jax.ShapeDtypeStruct(x4.shape, images.dtype),
+            jax.ShapeDtypeStruct((SEED_STATE_LEN,), jnp.int32),
+        ]
+        if carry
+        else jax.ShapeDtypeStruct(x4.shape, images.dtype)
+    )
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=n_prefetch,
         grid=(n,),
-        in_specs=[
-            pl.BlockSpec((1, 3, s, _LANE), lambda i, params: (i, 0, 0, 0), memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec(
-            (1, 3, s, _LANE), lambda i, params: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
+        in_specs=[block],
+        out_specs=out_specs,
         # Cross-image seed scratch (4 terminal keys: φ lo/hi, c0/c1 maxes +
         # one miss-streak counter per loop-pair) — persists across the
         # sequential grid steps; see _select_seeded.
@@ -454,20 +524,26 @@ def macenko_transform_mega(images, stain_matrix, target_max_conc, interpret: boo
         p_true=p_true,
         alpha=int(ALPHA),
         idx_hi_conc=idx_hi_conc,
+        carry=carry,
     )
-    out = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(x4.shape, images.dtype),
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-    )(params, x4)
+    )
+    if carry:
+        out, new_state = call(params, seed_state.reshape(1, SEED_STATE_LEN).astype(jnp.int32), x4)
+    else:
+        out = call(params, x4)
 
     n_, c, h, w = images.shape
     out = out.reshape(n_, c, s * _LANE)
     if s * _LANE != h * w:
         out = out[:, :, : h * w]
-    return out.reshape(n_, c, h, w)
+    out = out.reshape(n_, c, h, w)
+    return (out, new_state) if carry else out
 
 
 def _row_layout(images: jnp.ndarray):
@@ -504,8 +580,8 @@ def fused_row_budget_ok(images_shape, dtype) -> bool:
 
 
 # ---------------------------------------------------------------- fit kernel
-def _fit_mega_kernel(x_ref, out_ref, *, is_uint8: bool, p_true: int, alpha: int,
-                     idx_hi_conc: int):
+def _fit_mega_kernel(*refs, is_uint8: bool, p_true: int, alpha: int,
+                     idx_hi_conc: int, carry: bool = False):
     """The ENTIRE pooled Macenko fit in one kernel: OD, β-filter, moments,
     scalar eigh, φ percentile selects, HE ordering, concentration 99th
     percentiles — one VMEM residency, HBM traffic = one read of the
@@ -516,7 +592,21 @@ def _fit_mega_kernel(x_ref, out_ref, *, is_uint8: bool, p_true: int, alpha: int,
     pixels of the whole batch POOLED into one row, β-filter **without**
     the <3-pixel fallback, covariance and φ percentiles over filtered
     pixels only, concentrations and their 99th percentile over ALL pooled
-    pixels. No reconstruction — the outputs ARE the fitted parameters."""
+    pixels. No reconstruction — the outputs ARE the fitted parameters.
+
+    ``carry`` (static): cross-CALL seed carry for fit-per-forward batch
+    mode — consecutive forwards fit on same-distribution batches, so the
+    previous call's terminal keys place this call's probe cuts
+    (:func:`_select_seeded`; bit-exact, probe placement only)."""
+    if carry:
+        seed_in_ref, x_ref, out_ref, seed_out_ref, seed_ref = refs
+        # Grid is (1,): load the carried state unconditionally.
+        for s_i in range(6):
+            seed_ref[s_i] = seed_in_ref[0, s_i]
+        have_prev0 = seed_in_ref[0, 6] > 0
+    else:
+        x_ref, out_ref = refs
+        seed_ref = have_prev0 = None
     od = _od_planes(x_ref, is_uint8)
     s, lane = od[0].shape
     idx = jax.lax.broadcasted_iota(jnp.int32, (s, lane), 0) * lane + (
@@ -551,9 +641,14 @@ def _fit_mega_kernel(x_ref, out_ref, *, is_uint8: bool, p_true: int, alpha: int,
 
     r_lo = nearest_rank_index(alpha, cnt_i)
     r_hi = nearest_rank_index(100 - alpha, cnt_i)
-    phi_results = radix_select_multi(
-        [(key, r_lo, (pseudo,)), (key, r_hi, (pseudo,))], keyed=True
-    )
+    phi_selects = [(key, r_lo, (pseudo,)), (key, r_hi, (pseudo,))]
+    if carry:
+        phi_results = _select_seeded(
+            phi_selects, (0, 1), seed_ref, 4, counts=(cnt_i, cnt_i),
+            have_prev0=have_prev0,
+        )
+    else:
+        phi_results = radix_select_multi(phi_selects, keyed=True)
     cos_lo, sin_lo = _dir_from_pseudo(phi_results[0][0])
     cos_hi, sin_hi = _dir_from_pseudo(phi_results[1][0])
     h0, h1 = _he_scalars_from_phi(evs, cos_lo, sin_lo, cos_hi, sin_hi)
@@ -562,13 +657,18 @@ def _fit_mega_kernel(x_ref, out_ref, *, is_uint8: bool, p_true: int, alpha: int,
     c0 = od[0] * m0[0] + od[1] * m0[1] + od[2] * m0[2]
     c1 = od[0] * m1[0] + od[1] * m1[1] + od[2] * m1[2]
     rank_hi = jnp.int32(idx_hi_conc)
-    c_results = radix_select_multi(
-        [
-            (_monotone_key(jnp.where(in_image, c0, jnp.inf)), rank_hi, (c0,)),
-            (_monotone_key(jnp.where(in_image, c1, jnp.inf)), rank_hi, (c1,)),
-        ],
-        keyed=True,
-    )
+    c_selects = [
+        (_monotone_key(jnp.where(in_image, c0, jnp.inf)), rank_hi, (c0,)),
+        (_monotone_key(jnp.where(in_image, c1, jnp.inf)), rank_hi, (c1,)),
+    ]
+    if carry:
+        c_results = _select_seeded(
+            c_selects, (2, 3), seed_ref, 5,
+            counts=(jnp.int32(p_true), jnp.int32(p_true)),
+            have_prev0=have_prev0,
+        )
+    else:
+        c_results = radix_select_multi(c_selects, keyed=True)
     (maxc0,), (maxc1,) = c_results
 
     # (3, 2) HE row-major, then the two max concentrations.
@@ -578,16 +678,26 @@ def _fit_mega_kernel(x_ref, out_ref, *, is_uint8: bool, p_true: int, alpha: int,
     out_ref[6] = maxc0
     out_ref[7] = maxc1
 
+    if carry:
+        for s_i in range(6):
+            seed_out_ref[s_i] = seed_ref[s_i]
+        seed_out_ref[6] = jnp.int32(1)
+
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def macenko_fit_mega(images, interpret: bool | None = None):
+def macenko_fit_mega(images, seed_state=None, interpret: bool | None = None):
     """One-kernel Macenko fit: (N, 3, H, W) uint8/float [0,1] → fitted
     ``(stain_matrix (3, 2) f32, max_concentrations (2,) f32)``. All N
     images' pixels pool into ONE row (fit semantics pool the batch,
     ``torch_backend.py:469-474``), so HBM traffic is one read of the
     input. Counterpart of the reference's fit-side CUDA pipeline
     (``csrc/macenko.cu:29-262``) with the transform mega kernel's
-    machinery; the <3-pixel fallback is intentionally absent at fit."""
+    machinery; the <3-pixel fallback is intentionally absent at fit.
+
+    ``seed_state`` (optional, (7,) int32 from :func:`seed_state_init`):
+    cross-CALL seed carry — seeds this fit's descents from a previous
+    fit's terminal keys (batch mode re-fits every forward on
+    same-distribution batches) and returns ``(he, maxc, new_state)``."""
     if interpret is None:
         interpret = interpret_mode()
     n, c, h, w = images.shape
@@ -602,13 +712,39 @@ def macenko_fit_mega(images, interpret: bool | None = None):
     from stainx_tpu.ops.percentile import static_nearest_rank_index
 
     idx_hi_conc = static_nearest_rank_index(99, p_true)
+    carry = seed_state is not None
     kernel = functools.partial(
         _fit_mega_kernel,
         is_uint8=images.dtype == jnp.uint8,
         p_true=p_true,
         alpha=int(ALPHA),
         idx_hi_conc=idx_hi_conc,
+        carry=carry,
     )
+    if carry:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(1,),
+            in_specs=[
+                pl.BlockSpec((1, 3, s, _LANE), lambda i, s_: (0, 0, 0, 0), memory_space=pltpu.VMEM)
+            ],
+            out_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            scratch_shapes=[pltpu.SMEM((6,), jnp.int32)],
+        )
+        out, new_state = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((8,), jnp.float32),
+                jax.ShapeDtypeStruct((SEED_STATE_LEN,), jnp.int32),
+            ],
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        )(seed_state.reshape(1, SEED_STATE_LEN).astype(jnp.int32), x4)
+        return out[:6].reshape(3, 2), out[6:8], new_state
     out = pl.pallas_call(
         kernel,
         grid=(1,),

@@ -65,8 +65,9 @@ from stainx_tpu.kernels import interpret_mode
 from stainx_tpu.kernels.macenko_fused import (
     _BETA,
     _IO,
-    _MISS_DELTA,
     _MISS_LIMIT,
+    SEED_STATE_LEN,
+    _seed_missed,
     _cov_scalars,
     _dir_from_pseudo,
     _eigh3_top2_scalars,
@@ -124,32 +125,55 @@ _SUB_ROWS = 256
 
 def _stream_mega_kernel(
     params_ref,
-    x_hbm,
-    out_hbm,
-    keys_hbm,
-    buf,
-    sem,
-    obuf,
-    osem,
-    kbuf,
-    ksem,
-    seed_ref,
-    sub_buf,
-    *,
+    *rest,
     is_uint8: bool,
     p_true: int,
     n_chunks: int,
     alpha: int,
     idx_hi_conc: int,
     fit_mode: bool = False,
+    carry: bool = False,
 ):
     """``fit_mode`` (static): run phases A–C with FIT semantics — no
     <3-pixel fallback, φ percentiles over β-filtered pixels only, the
     concentration 99th percentiles over all pooled pixels — and write the
     8 fitted scalars (HE row-major + maxC pair) to ``out_hbm`` (an SMEM
     params ref in that mode) instead of reconstructing
-    (``torch_backend.py:463-519``; jnp twin ``ops.macenko.macenko_fit``)."""
+    (``torch_backend.py:463-519``; jnp twin ``ops.macenko.macenko_fit``).
+
+    ``carry`` (static): cross-CALL seed carry — a second prefetch operand
+    holds a previous call's terminal state (4 keys + 2 streaks + valid),
+    loaded into the seed scratch before grid step 0, and the final state
+    is written to an SMEM output. Every saved sweep here is a whole HBM
+    pass, so sequential same-distribution single-row calls (WSI tile
+    streams) are the target case. Bit-exact for any state."""
+    if carry:
+        (seed_in_ref, x_hbm, out_hbm, keys_hbm, seed_out_ref,
+         buf, sem, obuf, osem, kbuf, ksem, seed_ref, sub_buf) = rest
+    else:
+        (x_hbm, out_hbm, keys_hbm,
+         buf, sem, obuf, osem, kbuf, ksem, seed_ref, sub_buf) = rest
     i = pl.program_id(0)
+    if carry:
+        @pl.when(i == 0)
+        def _():
+            for s_i in range(6):
+                seed_ref[s_i] = seed_in_ref[0, s_i]
+
+        have_prev0 = seed_in_ref[0, 6] > 0
+    else:
+        have_prev0 = None
+
+    def write_seed_state_out():
+        if not carry:
+            return
+
+        @pl.when(i == pl.num_programs(0) - 1)
+        def _():
+            for s_i in range(6):
+                seed_out_ref[s_i] = seed_ref[s_i]
+            seed_out_ref[6] = jnp.int32(1)
+
     chunk_px = _SUB * _CK
     # Cross-image seeding (the resident mega kernel's round-4 trick, where
     # it bought +12%; here every saved iteration is a whole HBM sweep):
@@ -311,7 +335,8 @@ def _stream_mega_kernel(
         n_fields = len(field_fns)
         ranks = [r for _fi, r in descents]
         streak = seed_ref[streak_slot]
-        seed_valid = (i > 0) & (streak < _MISS_LIMIT)
+        have_prev = (i > 0) if have_prev0 is None else ((i > 0) | have_prev0)
+        seed_valid = have_prev & (streak < _MISS_LIMIT)
         stride = -(-n_chunks // _SUB_ROWS)  # ceil: sample every stride-th chunk
         rows_used = -(-n_chunks // stride)
 
@@ -546,21 +571,15 @@ def _stream_mega_kernel(
         # against the previous image's regardless of whether seeding was
         # active, so a stabilized stream re-enables itself one image after
         # the terminals settle (resident-kernel semantics, _select_seeded).
-        lim = jnp.int32(1 << 20)
         all_far = None
         for d in range(k_d):
-            prev = jnp.clip(
-                seed_ref[seed_slots[d]],
-                jnp.int32(_I32MIN) + lim,
-                jnp.int32(_I32MAX) - lim,
-            )
-            far = (terminals[d] > prev + jnp.int32(_MISS_DELTA)) | (
-                terminals[d] < prev - jnp.int32(_MISS_DELTA)
-            )
+            far = _seed_missed(seed_ref[seed_slots[d]], terminals[d])
             all_far = far if all_far is None else (all_far & far)
             seed_ref[seed_slots[d]] = terminals[d]
         seed_ref[streak_slot] = jnp.where(
-            i == 0, jnp.int32(0), jnp.where(all_far, streak + 1, jnp.int32(0))
+            jnp.logical_not(have_prev),
+            jnp.int32(0),
+            jnp.where(all_far, streak + 1, jnp.int32(0)),
         )
         return terminals
 
@@ -613,6 +632,7 @@ def _stream_mega_kernel(
             out_hbm[2 * ch + 1] = h1[ch]
         out_hbm[6] = maxc0
         out_hbm[7] = maxc1
+        write_seed_state_out()
         return
 
     tmc0, tmc1 = params_ref[0, 0], params_ref[0, 1]
@@ -648,11 +668,12 @@ def _stream_mega_kernel(
     for t_tail in range(max(n_chunks - 2, 0), n_chunks):
         for ch in range(3):
             out_dma(t_tail % 2, t_tail, ch).wait()
+    write_seed_state_out()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def macenko_transform_stream(
-    images, stain_matrix, target_max_conc, interpret: bool | None = None
+    images, stain_matrix, target_max_conc, seed_state=None, interpret: bool | None = None
 ):
     """Streaming one-kernel Macenko transform, (N, 3, H, W) uint8/float32
     [0,1] → normalized batch (same dtype, [0,255] range). VMEM holds only
@@ -661,7 +682,12 @@ def macenko_transform_stream(
     eventual row cap is HBM, not VMEM — input + output + the 8 B/px key
     cache ≈ 14 B/px uint8 (32 B/px f32) put the arithmetic ceiling near
     ~1.1 G px on a 16 GB chip, but that regime is unmeasured and each new
-    row shape in the 12k–16k tier pays a ~10–15 min one-time compile."""
+    row shape in the 12k–16k tier pays a ~10–15 min one-time compile.
+
+    ``seed_state`` (optional, (7,) int32 — ``macenko_fused.
+    seed_state_init``): cross-CALL seed carry; the return becomes
+    ``(out, new_state)``. Targets sequential same-distribution
+    single-row calls, where every saved sweep is a whole HBM pass."""
     if interpret is None:
         interpret = interpret_mode()
     if images.dtype not in (jnp.uint8, jnp.float32):
@@ -696,29 +722,36 @@ def macenko_transform_stream(
         ]
     ).reshape(1, 8)
 
+    carry = seed_state is not None
+    scratch = [
+        pltpu.VMEM((2, 3, _SUB, _CK), images.dtype),
+        pltpu.SemaphoreType.DMA((2, 3)),
+        pltpu.VMEM((2, 3, _SUB, _CK), images.dtype),
+        pltpu.SemaphoreType.DMA((2, 3)),
+        pltpu.VMEM((2, 2, _SUB, _CK), jnp.int32),
+        pltpu.SemaphoreType.DMA((2, 2)),
+        # Cross-image seed scratch (4 terminal keys: φ lo/hi, c0/c1 +
+        # one miss-streak counter per loop-pair) — persists across the
+        # sequential grid steps.
+        pltpu.SMEM((6,), jnp.int32),
+        # Subsample key rows collected by each phase's sweep 1 (per
+        # field) — the sweep-2 seed source for single-image rows.
+        pltpu.VMEM((2, _SUB_ROWS, _CK), jnp.int32),
+    ]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY), pl.BlockSpec(memory_space=pl.ANY)]
+    out_shape = [
+        jax.ShapeDtypeStruct(x5.shape, images.dtype),
+        jax.ShapeDtypeStruct((2, n_chunks, _SUB, _CK), jnp.int32),
+    ]
+    if carry:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((SEED_STATE_LEN,), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if carry else 1,
         grid=(n,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((2, 3, _SUB, _CK), images.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.VMEM((2, 3, _SUB, _CK), images.dtype),
-            pltpu.SemaphoreType.DMA((2, 3)),
-            pltpu.VMEM((2, 2, _SUB, _CK), jnp.int32),
-            pltpu.SemaphoreType.DMA((2, 2)),
-            # Cross-image seed scratch (4 terminal keys: φ lo/hi, c0/c1 +
-            # one miss-streak counter per loop-pair) — persists across the
-            # sequential grid steps.
-            pltpu.SMEM((6,), jnp.int32),
-            # Subsample key rows collected by each phase's sweep 1 (per
-            # field) — the sweep-2 seed source for single-image rows.
-            pltpu.VMEM((2, _SUB_ROWS, _CK), jnp.int32),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _stream_mega_kernel,
@@ -727,30 +760,35 @@ def macenko_transform_stream(
         n_chunks=n_chunks,
         alpha=int(ALPHA),
         idx_hi_conc=idx_hi_conc,
+        carry=carry,
     )
     # Second output = the descents' HBM key cache (one signed-key plane per
     # descent field, reused by every image — grid steps run sequentially).
     # It is scratch that outlives a grid step, which Pallas models as an
     # output; the caller discards it.
-    out, _keys = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct(x5.shape, images.dtype),
-            jax.ShapeDtypeStruct((2, n_chunks, _SUB, _CK), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
-    )(params, x5)
+    )
+    if carry:
+        out, _keys, new_state = call(
+            params, seed_state.reshape(1, SEED_STATE_LEN).astype(jnp.int32), x5
+        )
+    else:
+        out = call(params, x5)[0]
 
     out = out.reshape(n, c, n_chunks * chunk_px)
     if pad:
         out = out[:, :, :p_true]
-    return out.reshape(n, c, h, w)
+    out = out.reshape(n, c, h, w)
+    return (out, new_state) if carry else out
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def macenko_fit_stream(images, interpret: bool | None = None):
+def macenko_fit_stream(images, seed_state=None, interpret: bool | None = None):
     """Streaming one-kernel Macenko fit: (N, 3, H, W) uint8/float32 [0,1]
     → fitted ``(stain_matrix (3, 2) f32, max_concentrations (2,) f32)``.
 
@@ -761,7 +799,11 @@ def macenko_fit_stream(images, interpret: bool | None = None):
     always a single "image 0" row, exactly the case it was built for.
     Serves every pooled size past :func:`..macenko_fused.
     fused_fit_budget_ok`'s VMEM budget; the row ceiling is HBM (input +
-    the 8 B/px key cache), like the streaming transform's."""
+    the 8 B/px key cache), like the streaming transform's.
+
+    ``seed_state`` (optional, (7,) int32): cross-CALL seed carry — the
+    return becomes ``(he, maxc, new_state)``; see
+    :func:`macenko_transform_stream`."""
     if interpret is None:
         interpret = interpret_mode()
     if images.dtype not in (jnp.uint8, jnp.float32):
@@ -786,14 +828,23 @@ def macenko_fit_stream(images, interpret: bool | None = None):
     from stainx_tpu.ops.percentile import static_nearest_rank_index
 
     idx_hi_conc = static_nearest_rank_index(99, p_true)
+    carry = seed_state is not None
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((8,), jnp.float32),
+        jax.ShapeDtypeStruct((2, n_chunks, _SUB, _CK), jnp.int32),
+    ]
+    if carry:
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape.append(jax.ShapeDtypeStruct((SEED_STATE_LEN,), jnp.int32))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if carry else 1,
         grid=(1,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((2, 3, _SUB, _CK), images.dtype),
             pltpu.SemaphoreType.DMA((2, 3)),
@@ -815,16 +866,20 @@ def macenko_fit_stream(images, interpret: bool | None = None):
         alpha=int(ALPHA),
         idx_hi_conc=idx_hi_conc,
         fit_mode=True,
+        carry=carry,
     )
     params = jnp.zeros((1, 8), jnp.float32)  # unused in fit mode
-    out, _keys = pl.pallas_call(
+    call = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((8,), jnp.float32),
-            jax.ShapeDtypeStruct((2, n_chunks, _SUB, _CK), jnp.int32),
-        ],
+        out_shape=out_shape,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 1024 * 1024),
-    )(params, x5)
+    )
+    if carry:
+        out, _keys, new_state = call(
+            params, seed_state.reshape(1, SEED_STATE_LEN).astype(jnp.int32), x5
+        )
+        return out[:6].reshape(3, 2), out[6:8], new_state
+    out = call(params, x5)[0]
     return out[:6].reshape(3, 2), out[6:8]

@@ -34,6 +34,15 @@ _LANE = 128
 _SUB = 8
 
 
+def _pick_tile(s: int, max_tile: int) -> int:
+    """Largest sublane-aligned (×8) divisor of ``s`` up to ``max_tile``;
+    falls back to the full dimension (block == array dim is always legal)."""
+    for t in range(min(s, max_tile), 7, -1):
+        if s % t == 0 and t % 8 == 0:
+            return t
+    return s
+
+
 def _reinhard_kernel(params_ref, x_ref, out_ref, *, is_uint8: bool):
     if is_uint8:
         # Mosaic has no direct u8→f32 cast; hop through int32.
@@ -96,8 +105,6 @@ def reinhard_apply_pallas(
     )  # (4, 3)
 
     # Tile the pixel dimension; each grid step sees all 3 channels.
-    from stainx_tpu.kernels.moments import _pick_tile
-
     tile_s = _pick_tile(s, 512)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -179,8 +186,6 @@ def reinhard_moments_pallas(
         flat = jnp.pad(flat, ((0, 0), (0, 0), (0, pad)))
     s = flat.shape[2] // _LANE
     x4 = flat.reshape(n, c, s, _LANE)
-
-    from stainx_tpu.kernels.moments import _pick_tile
 
     tile_s = _pick_tile(s, 512)
 

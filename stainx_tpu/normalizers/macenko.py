@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 
 from stainx_tpu.normalizers._template import NormalizerTemplate
@@ -66,15 +67,48 @@ class Macenko(NormalizerTemplate):
         self._stain_matrix = None
         self._target_max_conc = None
         self._concentration_matrix = None  # reference API parity (macenko.py:48)
+        # Cross-call descent seed state (pallas backend): consecutive
+        # fit/transform calls seed their percentile descents from the
+        # previous call's terminal keys — measured +15–20% on sequential
+        # single-row 4096² streaming calls, ~10% on single-512² serving
+        # calls, and +0.1–2.5% on batched calls where the in-kernel
+        # scratch already seeds images 1..N−1 (v5e, round 5, matched A/B).
+        # Bit-exact (probe placement only; the per-pair miss-streak cutout
+        # bounds heterogeneous-stream cost), so it is on by default. NOT
+        # part of the checkpointable fitted state.
+        self._seed_state = None
 
     def _state_attrs(self):
         return ("_stain_matrix", "_target_max_conc")
 
+    def _carry_state(self):
+        if self._seed_state is None:
+            from stainx_tpu.kernels.macenko_fused import seed_state_init
+
+            self._seed_state = jax.device_put(seed_state_init(), self.device)
+        return self._seed_state
+
+    def to_device(self, device) -> "Macenko":
+        # The seed state is a perf cache, not fitted state: drop it on a
+        # device move instead of dragging a cross-device dependency into
+        # the next jitted call.
+        self._seed_state = None
+        return super().to_device(device)
+
     def _compute_reference_params(self, images: jnp.ndarray) -> None:
         self._validate_layout(images, "fit")
-        self._stain_matrix, self._target_max_conc = macenko_ops.macenko_fit(
-            images, use_pallas=self.backend == "pallas"
-        )
+        if self.backend == "pallas":
+            (
+                self._stain_matrix,
+                self._target_max_conc,
+                self._seed_state,
+            ) = macenko_ops.macenko_fit(
+                images, use_pallas=True, seed_state=self._carry_state()
+            )
+        else:
+            self._stain_matrix, self._target_max_conc = macenko_ops.macenko_fit(
+                images, use_pallas=False
+            )
         self._concentration_matrix = None
 
     def _validate_fitted_params(self) -> None:
@@ -98,12 +132,22 @@ class Macenko(NormalizerTemplate):
     def _transform_impl(self, images: jnp.ndarray) -> jnp.ndarray:
         self._validate_layout(images, "transform")
         self._validate_fitted_params()
+        if self.backend == "pallas":
+            out, self._seed_state = macenko_ops.macenko_transform(
+                images,
+                self._stain_matrix,
+                self._target_max_conc,
+                precision=self._precision,
+                use_pallas=True,
+                seed_state=self._carry_state(),
+            )
+            return out
         return macenko_ops.macenko_transform(
             images,
             self._stain_matrix,
             self._target_max_conc,
             precision=self._precision,
-            use_pallas=self.backend == "pallas",
+            use_pallas=False,
         )
 
     @staticmethod

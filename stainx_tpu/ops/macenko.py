@@ -311,7 +311,7 @@ def rescale_and_reconstruct(
     return jnp.clip(IO * jnp.exp(-od_recon), 0.0, 255.0)
 
 
-def _macenko_transform_fused(images, stain_matrix, target_max_conc):
+def _macenko_transform_fused(images, stain_matrix, target_max_conc, seed_state=None):
     """Fully-fused Pallas hot path. Default: the single mega-kernel — the
     ENTIRE per-image transform (moments, analytic eigh, φ/concentration
     radix selection, reconstruction) in one VMEM residency; HBM traffic is
@@ -323,7 +323,7 @@ def _macenko_transform_fused(images, stain_matrix, target_max_conc):
     default 16 MB scoped-VMEM cap so this kernel compiles at 1024².)"""
     from stainx_tpu.kernels.macenko_fused import macenko_transform_mega
 
-    return macenko_transform_mega(images, stain_matrix, target_max_conc)
+    return macenko_transform_mega(images, stain_matrix, target_max_conc, seed_state=seed_state)
 
 
 @partial(jax.jit, static_argnames=("precision", "use_pallas"))
@@ -333,6 +333,7 @@ def macenko_transform(
     target_max_conc: jnp.ndarray,
     precision: str = "stable",
     use_pallas: bool = False,
+    seed_state: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Normalize a batch to the fitted stain matrix / max concentrations.
 
@@ -340,6 +341,15 @@ def macenko_transform(
     (``torch_backend.py:399-461,521-560``) with the CUDA wrapper's batched
     masked scheme. Output range [0, 255] in the input dtype (no Io cap —
     torchstain parity, ``docs/changelog.md:61``).
+
+    ``seed_state`` (optional, (7,) int32 — ``kernels.macenko_fused.
+    seed_state_init``): cross-CALL descent seeding. When given, the return
+    is ALWAYS ``(out, new_state)`` — thread the state through consecutive
+    calls (the :class:`~stainx_tpu.normalizers.Macenko` normalizer does
+    this automatically on the pallas backend). Bit-exact: seeds only
+    place probe cuts. Routes without a kernel (jnp fallback, tiny-row
+    route, unsupported dtypes) pass the state through unchanged — the
+    per-pair miss-streak cutout absorbs any staleness later.
     """
     n_imgs, _, h_img, w_img = images.shape
     if n_imgs >= TINY_JNP_MIN_BATCH and h_img * w_img <= TINY_JNP_MAX_ELEMS:
@@ -353,7 +363,9 @@ def macenko_transform(
             # Serves BOTH precision modes: the fused path is exact and
             # faster than the jnp fast path, so "fast" has nothing to trade
             # away here (precision still selects dtype policy on fallbacks).
-            return _macenko_transform_fused(images, stain_matrix, target_max_conc)
+            return _macenko_transform_fused(
+                images, stain_matrix, target_max_conc, seed_state=seed_state
+            )
         if STREAM_MEGA_ENABLED and images.dtype in (jnp.uint8, jnp.float32):
             # EVERY supported-dtype row past the resident mega's budget runs
             # the STREAMING mega kernel: whole transform per image, bytes
@@ -366,7 +378,9 @@ def macenko_transform(
             # MPix/s (benchmarks/bench_stream_mega --dtype/--size).
             from stainx_tpu.kernels.macenko_stream import macenko_transform_stream
 
-            return macenko_transform_stream(images, stain_matrix, target_max_conc)
+            return macenko_transform_stream(
+                images, stain_matrix, target_max_conc, seed_state=seed_state
+            )
 
     original_dtype = images.dtype
     was_uint8 = original_dtype == jnp.uint8
@@ -426,11 +440,16 @@ def macenko_transform(
     rgb = rescale_and_reconstruct(
         c0, c1, max_c0, max_c1, target_max_conc, stain_matrix, recon_dtype
     ).reshape(n, c, h, w)
-    return color.preserve_dtype(rgb, original_dtype, was_uint8, result_in_0_255_range=True)
+    out = color.preserve_dtype(rgb, original_dtype, was_uint8, result_in_0_255_range=True)
+    # Non-kernel route with a carried state: pass it through unchanged so
+    # callers can thread unconditionally.
+    return (out, seed_state) if seed_state is not None else out
 
 
 @partial(jax.jit, static_argnames=("use_pallas",))
-def macenko_fit(images: jnp.ndarray, use_pallas: bool = False) -> tuple[jnp.ndarray, jnp.ndarray]:
+def macenko_fit(
+    images: jnp.ndarray, use_pallas: bool = False, seed_state: jnp.ndarray | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Fit the reference stain matrix (3, 2) and max concentrations (2,).
 
     Matches ``compute_reference_stain_matrix_torch``
@@ -446,16 +465,22 @@ def macenko_fit(images: jnp.ndarray, use_pallas: bool = False) -> tuple[jnp.ndar
     fit-per-forward hot path); larger pools run the streaming fit
     (:func:`...kernels.macenko_stream.macenko_fit_stream`). Unsupported
     dtypes fall through to the jnp pipeline below.
+
+    ``seed_state`` (optional, (7,) int32): cross-CALL descent seeding —
+    batch mode re-fits every forward on same-distribution batches, so
+    the previous fit's terminal keys place this fit's probe cuts
+    (bit-exact). When given, the return is ALWAYS
+    ``(he, maxc, new_state)``; non-kernel routes pass it through.
     """
     if use_pallas:
         from stainx_tpu.kernels.macenko_fused import fused_fit_budget_ok, macenko_fit_mega
 
         if fused_fit_budget_ok(images.shape, images.dtype):
-            return macenko_fit_mega(images)
+            return macenko_fit_mega(images, seed_state=seed_state)
         if STREAM_MEGA_ENABLED and images.dtype in (jnp.uint8, jnp.float32):
             from stainx_tpu.kernels.macenko_stream import macenko_fit_stream
 
-            return macenko_fit_stream(images)
+            return macenko_fit_stream(images, seed_state=seed_state)
 
     images_float = color.normalize_to_float(images)
     n, _, h, w = images_float.shape
@@ -486,4 +511,6 @@ def macenko_fit(images: jnp.ndarray, use_pallas: bool = False) -> tuple[jnp.ndar
         )[:, 0]
     else:
         max_conc = kth_smallest(c_stack, jnp.full((2,), idx99, jnp.int32))
+    if seed_state is not None:  # pass-through on the jnp route
+        return he[0], max_conc, seed_state
     return he[0], max_conc

@@ -456,6 +456,39 @@ def _pad_to_axis(images, axis_size: int):
     return jnp.concatenate([images, pad], axis=0), weights, n
 
 
+def _put_unless_committed(arr, sharding):
+    """``device_put`` unless ``arr`` is already committed to an equivalent
+    sharding — the no-copy path pre-sharded inputs take.
+
+    A host-global ``device_put`` is valid only when every mesh device is
+    addressable from this process (single-controller). Multi-controller
+    callers build the global array themselves (e.g.
+    ``jax.make_array_from_process_local_data``) and rely on this
+    equivalence check to pass it straight through."""
+    s = getattr(arr, "sharding", None)
+    if (
+        s is not None
+        and getattr(arr, "committed", False)
+        and s.is_equivalent_to(sharding, arr.ndim)
+    ):
+        return arr
+    return jax.device_put(arr, sharding)
+
+
+_MULTIHOST_NOTE = """
+    Process topology: with a SINGLE controller (every mesh device
+    addressable from this process — the only configuration testable
+    here), host/numpy inputs are accepted and ``device_put`` onto the
+    mesh. On a MULTI-CONTROLLER pod, pass a global ``jax.Array`` already
+    sharded to ``NamedSharding(mesh, PartitionSpec(batch_axis, None,
+    pixel_axis))`` (e.g. via ``jax.make_array_from_process_local_data``)
+    with N divisible by the batch axis (and H by the pixel axis, if
+    used) so the padding paths — which are host-global operations — never
+    run; such inputs take the no-copy path into the jitted shard_map,
+    which is topology-agnostic. See docs/training.md "Multi-host pods".
+"""
+
+
 def fit_on_mesh(
     method: str,
     images,
@@ -483,13 +516,16 @@ def fit_on_mesh(
     padded, weights, _ = _pad_to_axis(images, _axis_size(mesh, batch_axis))
     spec = NamedSharding(mesh, PartitionSpec(batch_axis, None, pixel_axis))
     w_spec = NamedSharding(mesh, PartitionSpec(batch_axis))
-    sharded = jax.device_put(padded, spec)
+    sharded = _put_unless_committed(padded, spec)
     weighted = weights is not None
     run = _fit_runner(
         method, mesh, batch_axis, weighted=weighted, pixel_axis=pixel_axis, h_padded=h_padded
     )
     w_args = vr_args + ((jax.device_put(weights, w_spec),) if weighted else ())
     return run(sharded, *w_args)
+
+
+fit_on_mesh.__doc__ += _MULTIHOST_NOTE
 
 
 @lru_cache(maxsize=None)
@@ -649,7 +685,7 @@ def transform_on_mesh(
     padded, weights, n = _pad_to_axis(images, _axis_size(mesh, batch_axis))
     spec = NamedSharding(mesh, PartitionSpec(batch_axis, None, pixel_axis))
     w_sharding = NamedSharding(mesh, PartitionSpec(batch_axis))
-    sharded = jax.device_put(padded, spec)
+    sharded = _put_unless_committed(padded, spec)
     # Macenko is per-image: padded BATCH rows can't contaminate real outputs
     # (padded pixel rows ride the row-validity vector instead).
     weighted = weights is not None and method != "macenko"
@@ -682,6 +718,9 @@ def transform_on_mesh(
     if out.shape[2] != h:
         out = out[:, :, :h, :]
     return out[:n] if padded.shape[0] != n else out
+
+
+transform_on_mesh.__doc__ += _MULTIHOST_NOTE
 
 
 def hm_transform_sharded(

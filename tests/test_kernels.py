@@ -647,6 +647,79 @@ class TestFitKernels:
             mk.macenko_fit(jnp.asarray(img), use_pallas=False),
         )
 
+    def test_cross_call_seed_carry_bit_exact(self):
+        """Cross-CALL seed carry (round 5): outputs must be bit-identical
+        to the uncarried kernels for ANY carried state — seeds only place
+        probe cuts — and the state must chain (valid flag set, terminals
+        updated). Covers all four carry kernels: resident/streaming ×
+        transform/fit."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.macenko_fused import (
+            macenko_fit_mega,
+            macenko_transform_mega,
+            seed_state_init,
+        )
+        from stainx_tpu.kernels.macenko_stream import (
+            macenko_fit_stream,
+            macenko_transform_stream,
+        )
+        from stainx_tpu.ops import macenko as mk
+
+        ref = oracle_tile(96)
+        he, mc = mk.macenko_fit(jnp.asarray(ref), use_pallas=False)
+        batch = jnp.asarray(
+            np.concatenate(
+                [oracle_tile(96, seed=s, he_scale=1.1) for s in (1, 2, 3)]
+            )
+        )
+        big = jnp.asarray(
+            np.concatenate(
+                [oracle_tile_hw(200, 350, seed=s, he_scale=1.1) for s in (4, 5)]
+            )
+        )
+        st = seed_state_init()
+
+        plain = np.asarray(macenko_transform_mega(batch, he, mc, interpret=True))
+        o1, st1 = macenko_transform_mega(batch, he, mc, seed_state=st, interpret=True)
+        o2, st2 = macenko_transform_mega(batch, he, mc, seed_state=st1, interpret=True)
+        assert (np.asarray(o1) == plain).all() and (np.asarray(o2) == plain).all()
+        assert int(np.asarray(st1)[6]) == 1  # valid flag chains
+
+        fp = macenko_fit_mega(jnp.asarray(ref), interpret=True)
+        f1 = macenko_fit_mega(jnp.asarray(ref), seed_state=st, interpret=True)
+        f2 = macenko_fit_mega(jnp.asarray(ref), seed_state=f1[2], interpret=True)
+        for f in (f1, f2):
+            assert (np.asarray(f[0]) == np.asarray(fp[0])).all()
+            assert (np.asarray(f[1]) == np.asarray(fp[1])).all()
+
+        sp = np.asarray(macenko_transform_stream(big, he, mc, interpret=True))
+        s1, sst1 = macenko_transform_stream(big, he, mc, seed_state=st, interpret=True)
+        s2, _ = macenko_transform_stream(big, he, mc, seed_state=sst1, interpret=True)
+        assert (np.asarray(s1) == sp).all() and (np.asarray(s2) == sp).all()
+
+        ffp = macenko_fit_stream(big, interpret=True)
+        ff1 = macenko_fit_stream(big, seed_state=st, interpret=True)
+        ff2 = macenko_fit_stream(big, seed_state=ff1[2], interpret=True)
+        for f in (ff1, ff2):
+            assert (np.asarray(f[0]) == np.asarray(ffp[0])).all()
+            assert (np.asarray(f[1]) == np.asarray(ffp[1])).all()
+
+    def test_seed_carry_ops_passthrough(self):
+        """Non-kernel routes (jnp path) must pass a supplied seed state
+        through unchanged so callers can thread unconditionally."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.macenko_fused import seed_state_init
+        from stainx_tpu.ops import macenko as mk
+
+        ref = jnp.asarray(oracle_tile(64))
+        st = seed_state_init().at[0].set(1234)
+        he, mc, st2 = mk.macenko_fit(ref, use_pallas=False, seed_state=st)
+        assert (np.asarray(st2) == np.asarray(st)).all()
+        out, st3 = mk.macenko_transform(ref, he, mc, use_pallas=False, seed_state=st)
+        assert (np.asarray(st3) == np.asarray(st)).all()
+
     def test_fit_routing(self, monkeypatch, fresh_jit_cache):
         """macenko_fit(use_pallas=True) routes by the pooled-row budget:
         small pools hit the resident kernel, large pools the streaming
@@ -903,50 +976,6 @@ class TestReinhardFusedKernel:
             out_p.astype(np.float32),
             atol=1.0 if dtype == "uint8" else 1 / 255,
         )
-
-
-class TestMomentsKernel:
-    @pytest.mark.parametrize("dtype", ["uint8", "float32"])
-    def test_matches_jnp_twin(self, dtype):
-        import jax.numpy as jnp
-
-        from stainx_tpu.kernels.moments import od_moments_pallas
-        from stainx_tpu.ops import color, macenko as mk
-
-        rng = np.random.default_rng(1)
-        if dtype == "uint8":
-            imgs = rng.integers(0, 256, (2, 3, 24, 24), np.uint8)
-        else:
-            imgs = rng.random((2, 3, 24, 24), dtype=np.float32)
-        cnt, s1, s2 = od_moments_pallas(jnp.asarray(imgs), interpret=True)
-        cnt_a, s1_a, s2_a = od_moments_pallas(jnp.asarray(imgs), masked=False, interpret=True)
-
-        imf = color.normalize_to_float(jnp.asarray(imgs))
-        od = mk.optical_density(imf).reshape(2, 3, -1)
-        od_c = (od[:, 0], od[:, 1], od[:, 2])
-        od_min = jnp.minimum(jnp.minimum(od_c[0], od_c[1]), od_c[2])
-        w = (od_min >= mk.BETA).astype(jnp.float32)
-        cnt_r, s1_r, s2_r = mk.masked_od_moments(od_c, w)
-        np.testing.assert_allclose(np.asarray(cnt), np.asarray(cnt_r), rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(s1), np.asarray(s1_r), rtol=1e-4, atol=1e-3)
-        np.testing.assert_allclose(np.asarray(s2), np.asarray(s2_r), rtol=1e-4, atol=1e-3)
-        # all-pixel set: weights = 1
-        cnt_ar, s1_ar, s2_ar = mk.masked_od_moments(od_c, jnp.ones_like(w))
-        np.testing.assert_allclose(np.asarray(cnt_a), np.asarray(cnt_ar), rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(s1_a), np.asarray(s1_ar), rtol=1e-4, atol=1e-3)
-        np.testing.assert_allclose(np.asarray(s2_a), np.asarray(s2_ar), rtol=1e-4, atol=1e-3)
-
-    def test_cov_from_kernel_moments(self):
-        import jax.numpy as jnp
-
-        from stainx_tpu.kernels.moments import od_moments_pallas
-        from stainx_tpu.ops import macenko as mk
-
-        imgs = oracle_tile(32)
-        cnt, s1, s2 = od_moments_pallas(jnp.asarray(imgs), interpret=True)
-        cov = np.asarray(mk.cov_from_moments(cnt, s1, s2))
-        assert cov.shape == (1, 3, 3)
-        np.testing.assert_allclose(cov[0], cov[0].T, atol=1e-6)
 
 
 class TestFusedMacenko:

@@ -723,3 +723,40 @@ class TestPixelSharded:
             single.astype(np.float32),
             atol=1.0,
         )
+
+
+class TestPreShardedInputs:
+    """Multi-host readiness (round 5): a global array already committed to
+    the target NamedSharding must take the NO-COPY path — on a real
+    multi-controller pod the host-global ``device_put`` is invalid, so
+    pre-sharded inputs (``jax.make_array_from_process_local_data``) are
+    the supported entry; see the ``fit_on_mesh`` docstring."""
+
+    def test_put_unless_committed_is_identity_for_matching_sharding(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from stainx_tpu.parallel import distributed as d
+
+        spec = NamedSharding(mesh, PartitionSpec("batch", None, None))
+        x = jnp.zeros((8, 3, 16, 16), jnp.uint8)
+        pre = jax.device_put(x, spec)
+        assert d._put_unless_committed(pre, spec) is pre  # no copy
+        # Uncommitted / differently-sharded arrays still get placed.
+        moved = d._put_unless_committed(x, spec)
+        assert moved.sharding.is_equivalent_to(spec, x.ndim)
+
+    def test_fit_and_transform_accept_pre_sharded(self, mesh, he_batch):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = NamedSharding(mesh, PartitionSpec("batch", None, None))
+        pre = jax.device_put(jnp.asarray(he_batch), spec)
+
+        for method in ("macenko", "reinhard", "histogram_matching"):
+            params_pre = parallel.fit_on_mesh(method, pre, mesh)
+            params_host = parallel.fit_on_mesh(method, he_batch, mesh)
+            for a, b in zip(jax.tree_util.tree_leaves(params_pre),
+                            jax.tree_util.tree_leaves(params_host)):
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            out_pre = parallel.transform_on_mesh(method, pre, params_pre, mesh)
+            out_host = parallel.transform_on_mesh(method, he_batch, params_host, mesh)
+            np.testing.assert_array_equal(np.asarray(out_pre), np.asarray(out_host))
