@@ -705,6 +705,33 @@ class TestFitKernels:
             assert (np.asarray(f[0]) == np.asarray(ffp[0])).all()
             assert (np.asarray(f[1]) == np.asarray(ffp[1])).all()
 
+    def test_stream_heterogeneous_miss_streak_bit_exact(self):
+        """A persistently heterogeneous stream (alternating stain scales +
+        a uniform row) drives the streaming kernel's per-pair miss-streak
+        cutout through its whole lifecycle — seed, miss, disable,
+        re-enable — and outputs must STAY bit-identical to the uncarried
+        kernel at every stage (round-4 advisor port + round-5 carry)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.macenko_fused import seed_state_init
+        from stainx_tpu.kernels.macenko_stream import macenko_transform_stream
+        from stainx_tpu.ops import macenko as mk
+
+        he, mc = mk.macenko_fit(jnp.asarray(oracle_tile(96)), use_pallas=False)
+        a = [oracle_tile_hw(96, 96, seed=100 + i, he_scale=0.7) for i in range(3)]
+        b = [oracle_tile_hw(96, 96, seed=200 + i, he_scale=1.4) for i in range(3)]
+        batch = np.empty((6, 3, 96, 96), np.uint8)
+        batch[0::2] = np.concatenate(a)
+        batch[1::2] = np.concatenate(b)
+        batch[3] = 128  # uniform row mid-stream
+        x = jnp.asarray(batch)
+
+        plain = np.asarray(macenko_transform_stream(x, he, mc, interpret=True))
+        st = seed_state_init()
+        for _call in range(2):  # second call enters with a carried state
+            out, st = macenko_transform_stream(x, he, mc, seed_state=st, interpret=True)
+            assert (np.asarray(out) == plain).all()
+
     def test_seed_carry_ops_passthrough(self):
         """Non-kernel routes (jnp path) must pass a supplied seed state
         through unchanged so callers can thread unconditionally."""
