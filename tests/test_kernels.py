@@ -452,6 +452,15 @@ class TestSelectionKernel:
         )
 
     def test_macenko_fit_pallas_matches_xla(self):
+        """Tolerances are the CROSS-IMPLEMENTATION gates (TestFitKernels),
+        not bit-level: since round 5 use_pallas=True routes to the fused
+        fit kernel, whose diamond-angle ordering can legitimately select
+        a pixel one rank away from the jnp path's arctan2 ordering at f32
+        near-ties — the round-5 tpu-smoke run caught exactly that (maxC
+        rel 1.8e-5 at 64² on compiled TPU vs the old 1e-5 gate, while
+        both stayed inside the reference-oracle budget, rel ≤ 4.1e-4 vs
+        1e-3). The reference parity gates remain the real contract
+        (test_reference_parity.test_fit_parity)."""
         from stainx_tpu.ops import macenko as mk
 
         import jax.numpy as jnp
@@ -459,8 +468,8 @@ class TestSelectionKernel:
         ref_img = oracle_tile(64)
         he_x, mc_x = mk.macenko_fit(jnp.asarray(ref_img), use_pallas=False)
         he_p, mc_p = mk.macenko_fit(jnp.asarray(ref_img), use_pallas=True)
-        np.testing.assert_allclose(np.asarray(he_x), np.asarray(he_p), atol=1e-5)
-        np.testing.assert_allclose(np.asarray(mc_x), np.asarray(mc_p), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(he_x), np.asarray(he_p), atol=2e-5)
+        np.testing.assert_allclose(np.asarray(mc_x), np.asarray(mc_p), rtol=1e-4)
 
 
 class TestStreamingMegaKernel:
