@@ -88,6 +88,13 @@ class Macenko(NormalizerTemplate):
             self._seed_state = jax.device_put(seed_state_init(), self.device)
         return self._seed_state
 
+    def _store_carry_state(self, state) -> None:
+        # Under a user-jitted call the returned state is a tracer; storing
+        # it would leak into later calls. Dropping it is valid — the carry
+        # is a perf cache and outputs are bit-exact either way.
+        if not isinstance(state, jax.core.Tracer):
+            self._seed_state = state
+
     def to_device(self, device) -> "Macenko":
         # The seed state is a perf cache, not fitted state: drop it on a
         # device move instead of dragging a cross-device dependency into
@@ -98,13 +105,10 @@ class Macenko(NormalizerTemplate):
     def _compute_reference_params(self, images: jnp.ndarray) -> None:
         self._validate_layout(images, "fit")
         if self.backend == "pallas":
-            (
-                self._stain_matrix,
-                self._target_max_conc,
-                self._seed_state,
-            ) = macenko_ops.macenko_fit(
+            self._stain_matrix, self._target_max_conc, new_state = macenko_ops.macenko_fit(
                 images, use_pallas=True, seed_state=self._carry_state()
             )
+            self._store_carry_state(new_state)
         else:
             self._stain_matrix, self._target_max_conc = macenko_ops.macenko_fit(
                 images, use_pallas=False
@@ -133,7 +137,7 @@ class Macenko(NormalizerTemplate):
         self._validate_layout(images, "transform")
         self._validate_fitted_params()
         if self.backend == "pallas":
-            out, self._seed_state = macenko_ops.macenko_transform(
+            out, new_state = macenko_ops.macenko_transform(
                 images,
                 self._stain_matrix,
                 self._target_max_conc,
@@ -141,6 +145,7 @@ class Macenko(NormalizerTemplate):
                 use_pallas=True,
                 seed_state=self._carry_state(),
             )
+            self._store_carry_state(new_state)
             return out
         return macenko_ops.macenko_transform(
             images,

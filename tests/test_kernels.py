@@ -741,6 +741,29 @@ class TestFitKernels:
             out, st = macenko_transform_stream(x, he, mc, seed_state=st, interpret=True)
             assert (np.asarray(out) == plain).all()
 
+    def test_seed_carry_survives_user_jit(self):
+        """A user jitting normalizer.transform must not leak a tracer into
+        the carried seed state (the store guard drops tracer states — the
+        carry is a perf cache, outputs are bit-exact without it)."""
+        import jax
+        import jax.numpy as jnp
+
+        from stainx_tpu import Macenko
+
+        ref = oracle_tile(64)
+        batch = oracle_tile(64, seed=3, he_scale=1.1)
+        m = Macenko(backend="pallas").fit(ref)
+        plain = np.asarray(m.transform(batch))
+
+        jitted = jax.jit(lambda x: m.transform(x))
+        out1 = np.asarray(jitted(jnp.asarray(batch)))
+        out2 = np.asarray(jitted(jnp.asarray(batch)))  # state must still be concrete
+        assert (out1 == plain).all() and (out2 == plain).all()
+        assert not isinstance(m._seed_state, jax.core.Tracer)
+        # And a later eager call still works and carries.
+        out3 = np.asarray(m.transform(batch))
+        assert (out3 == plain).all()
+
     def test_seed_carry_ops_passthrough(self):
         """Non-kernel routes (jnp path) must pass a supplied seed state
         through unchanged so callers can thread unconditionally."""
