@@ -741,6 +741,39 @@ class TestFitKernels:
             out, st = macenko_transform_stream(x, he, mc, seed_state=st, interpret=True)
             assert (np.asarray(out) == plain).all()
 
+    def test_streaming_kernels_default_lowering(self):
+        """Streaming transform+fit WITHOUT interpret forced: on the CPU CI
+        this still interprets (interpret_mode()), but on the hardware lane
+        (`make tpu-smoke`) it is the ONLY place the streaming kernels hit
+        the real Mosaic lowering — every other streaming test pins
+        interpret=True. Keeps the lane honest about its own purpose
+        (interpret accepts programs the TPU lowering rejects)."""
+        import jax.numpy as jnp
+
+        from stainx_tpu.kernels.macenko_fused import seed_state_init
+        from stainx_tpu.kernels.macenko_stream import (
+            macenko_fit_stream,
+            macenko_transform_stream,
+        )
+        from stainx_tpu.ops import macenko as mk
+
+        he, mc = mk.macenko_fit(jnp.asarray(oracle_tile(96)), use_pallas=False)
+        src = jnp.asarray(
+            np.concatenate([oracle_tile_hw(200, 350, seed=s) for s in (1, 2)])
+        )
+        st = seed_state_init()
+        out, st1 = macenko_transform_stream(src, he, mc, seed_state=st)
+        ref_out = np.asarray(
+            mk.macenko_transform(src, he, mc, use_pallas=False)
+        ).astype(np.float32)
+        assert np.abs(np.asarray(out).astype(np.float32) - ref_out).max() <= 2.0
+        he_s, mc_s, _st2 = macenko_fit_stream(src, seed_state=st1)
+        he_j, mc_j = mk.macenko_fit(src, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(he_s), np.asarray(he_j), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(mc_s), np.asarray(mc_j), rtol=1e-4
+        )
+
     def test_seed_carry_survives_user_jit(self):
         """A user jitting normalizer.transform must not leak a tracer into
         the carried seed state (the store guard drops tracer states — the
