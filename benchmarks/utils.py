@@ -32,7 +32,7 @@ def synthetic_he_batch(n: int, h: int, w: int, seed: int = 0, he_scale: float = 
     return np.clip(240.0 * np.exp(-od), 0, 255).astype(np.uint8).reshape(n, 3, h, w)
 
 
-def time_on_device(step: Callable, init, runs: int = 20) -> float:
+def time_on_device(step: Callable, init, runs: int = 20, state=None) -> float:
     """Seconds per iteration of ``step`` (an array→array function).
 
     Each iteration re-processes ``init`` (fresh data — feeding outputs back
@@ -41,13 +41,32 @@ def time_on_device(step: Callable, init, runs: int = 20) -> float:
     final scalar fetch forces completion (``block_until_ready`` can return
     early through remote-execution relays). The 1-iteration time is
     subtracted to cancel dispatch/fetch overhead — the bench.py protocol.
+
+    ``state`` (optional): initial value for a STATEFUL step —
+    ``step(x, state) -> (out, new_state)`` — threaded through consecutive
+    iterations exactly like the production normalizer threads its
+    cross-call seed state. Both arms of any comparison must use the same
+    protocol (round-5 lesson: cross-helper timing deltas are artifacts).
     """
 
-    @jax.jit
-    def chained(x, tok):
-        out = step(x + (tok * 0).astype(x.dtype))  # identity, forces ordering
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        return out, leaf.reshape(-1)[0].astype(jnp.float32)
+    # The FULL output stays a jit result in both forms: returning only the
+    # scalar token would let XLA dead-code-eliminate most of a jnp-path
+    # step (pallas kernels are opaque, jnp pipelines are not).
+    if state is None:
+
+        @jax.jit
+        def chained(x, tok):
+            out = step(x + (tok * 0).astype(x.dtype))  # identity, forces ordering
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return out, leaf.reshape(-1)[0].astype(jnp.float32), None
+
+    else:
+
+        @jax.jit
+        def chained(x, tok, st):
+            out, st2 = step(x + (tok * 0).astype(x.dtype), st)
+            leaf = jax.tree_util.tree_leaves(out)[0]
+            return out, leaf.reshape(-1)[0].astype(jnp.float32), st2
 
     @jax.jit
     def probe(tok):
@@ -56,9 +75,12 @@ def time_on_device(step: Callable, init, runs: int = 20) -> float:
     def run(iters: int) -> float:
         start = time.perf_counter()
         tok = jnp.float32(0)
-        out = None
+        st = state
         for _ in range(iters):
-            out, tok = chained(init, tok)
+            if state is None:
+                _out, tok, _ = chained(init, tok)
+            else:
+                _out, tok, st = chained(init, tok, st)
         float(probe(tok))
         return time.perf_counter() - start
 

@@ -7,9 +7,11 @@ them ONE AT A TIME. Two things make that fast here:
 2. On the pallas backend the normalizer automatically carries its
    cross-call descent-seed state between calls — the previous tile's
    percentile terminals seed the next tile's searches (bit-exact; see
-   ``docs/benchmarks.md`` "Cross-CALL seed carry"). Measured on v5e:
-   327 → 296 µs per 512² tile, and +15–20% on streaming-tier rows
-   (4096²+), where every saved descent sweep is a whole HBM pass.
+   ``docs/benchmarks.md`` "Cross-CALL seed carry"). Measured on v5e
+   over DISTINCT cycling tiles: +15–18% on within-slide streaming-tier
+   streams (4096²-class rows, where every saved descent sweep is a
+   whole HBM pass); distribution-shifted streams pay nothing (the
+   miss-streak cutout disables stale seeds).
 
 Run: ``python examples/serving_example.py [--tiles N] [--size S]``
 (CPU-safe: kernels run in interpret mode off-TPU, so the default size is

@@ -170,7 +170,7 @@ def reinhard_moments_pallas(
     (the jnp twin) with the pixel count ``N·H·W`` known statically. The
     accumulator is a per-lane VMEM vector (magnitudes stay ~tile-count ×
     channel range; one tree-reduce at the flush), the same f32-stability
-    scheme as ``kernels/moments.py``. Zero padding is subtracted exactly
+    scheme as the Macenko kernels' in-kernel moments. Zero padding is subtracted exactly
     via the pad pixels' constant LAB value.
     """
     if interpret is None:
@@ -208,8 +208,8 @@ def reinhard_moments_pallas(
     s1, s2 = out[:3], out[3:]
     if pad:
         # Zero padding contributes LAB(black) — a constant — per pad pixel;
-        # subtract its centered moments exactly (cf. kernels/moments.py's
-        # white-pad correction).
+        # subtract its centered moments exactly (the same pad-correction
+        # scheme the histogram kernel uses for its bin-0 padding).
         from stainx_tpu.ops import color
 
         lab_pad = (

@@ -69,10 +69,11 @@ class Macenko(NormalizerTemplate):
         self._concentration_matrix = None  # reference API parity (macenko.py:48)
         # Cross-call descent seed state (pallas backend): consecutive
         # fit/transform calls seed their percentile descents from the
-        # previous call's terminal keys — measured +15–20% on sequential
-        # single-row 4096² streaming calls, ~10% on single-512² serving
-        # calls, and +0.1–2.5% on batched calls where the in-kernel
-        # scratch already seeds images 1..N−1 (v5e, round 5, matched A/B).
+        # previous call's terminal keys — measured +15–18% on within-slide
+        # streams of DISTINCT single 4096² tiles (the target workload;
+        # benchmarks/bench_serving.py), parity on distribution-shifted
+        # streams (miss-streak cutout), +0.1–2.5% on batched calls where
+        # the in-kernel scratch already seeds images 1..N−1 (v5e, r5).
         # Bit-exact (probe placement only; the per-pair miss-streak cutout
         # bounds heterogeneous-stream cost), so it is on by default. NOT
         # part of the checkpointable fitted state.
